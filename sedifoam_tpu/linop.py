@@ -1,0 +1,310 @@
+"""Matrix-free implicit FV operators (the fvm:: namespace, TPU-style).
+
+OpenFOAM assembles sparse LDU matrices; on TPU we never materialize them.
+Each implicit term contributes (diag, apply, rhs) where ``apply`` evaluates
+the full volume-integrated operator on a trial field via dense stencils.
+The discretized equation is  sum(apply)(x) == sum(rhs).
+
+This gives us exactly what the reference solver needs:
+- UbEqn (lammpsFoam/UEqns.H) is assembled but never solved — PISO only
+  consumes A() = diag/V and H() = (rhs - (apply(x) - diag*x))/V
+  (lammpsFoam/pEqn.H:1,16);
+- the pressure Poisson and the diffusion-smoothing equations are solved
+  with the matrix-free PCG in linsolve.py.
+
+Sign convention: terms appear with the sign they carry on the equation LHS.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+
+from sedifoam_tpu import bc as _bc
+from sedifoam_tpu import ops
+from sedifoam_tpu.grid import FaceField, Grid
+
+
+@dataclasses.dataclass
+class LinTerm:
+    """One volume-integrated implicit term: equation LHS piece."""
+
+    diag: jnp.ndarray                      # diagonal coefficient field
+    apply: Callable[[jnp.ndarray], jnp.ndarray]  # full operator incl. diag
+    rhs: jnp.ndarray                       # explicit RHS contribution
+
+    def __add__(self, other: "LinTerm") -> "LinTerm":
+        sapply, oapply = self.apply, other.apply
+        return LinTerm(
+            self.diag + other.diag,
+            lambda x: sapply(x) + oapply(x),
+            self.rhs + other.rhs,
+        )
+
+    def __sub__(self, other: "LinTerm") -> "LinTerm":
+        sapply, oapply = self.apply, other.apply
+        return LinTerm(
+            self.diag - other.diag,
+            lambda x: sapply(x) - oapply(x),
+            self.rhs - other.rhs,
+        )
+
+    def __mul__(self, field):
+        """Row-scaling by a cell field (volScalarField * fvMatrix)."""
+        sapply = self.apply
+        return LinTerm(field * self.diag, lambda x: field * sapply(x),
+                       field * self.rhs)
+
+    __rmul__ = __mul__
+
+    def __neg__(self):
+        sapply = self.apply
+        return LinTerm(-self.diag, lambda x: -sapply(x), -self.rhs)
+
+    # --- the two quantities PISO consumes -----------------------------
+    def A(self, grid: Grid):
+        """Diagonal per unit volume (OpenFOAM fvMatrix::A)."""
+        return self.diag / grid.cell_volume
+
+    def H(self, x, grid: Grid):
+        """(rhs - offdiag*x)/V (OpenFOAM fvMatrix::H)."""
+        return (self.rhs - (self.apply(x) - self.diag * x)) / grid.cell_volume
+
+    def relax(self, x, alpha: float) -> "LinTerm":
+        """fvMatrix::relax(alpha): D /= alpha; rhs += (D' - D) * x_current."""
+        if alpha >= 1.0:
+            return self
+        new_diag = self.diag / alpha
+        delta = new_diag - self.diag
+        sapply = self.apply
+        return LinTerm(new_diag, lambda v: sapply(v) + delta * v,
+                       self.rhs + delta * x)
+
+    def residual(self, x):
+        return self.rhs - self.apply(x)
+
+
+def zero_term(grid: Grid, dtype=jnp.float64) -> LinTerm:
+    z = jnp.zeros(grid.shape, dtype)
+    return LinTerm(z, lambda x: jnp.zeros_like(x), z)
+
+
+def _homogeneous(fbc: _bc.FieldBC) -> _bc.FieldBC:
+    """Same BC kinds with zeroed values — the linear part of the operator."""
+    return _bc.FieldBC(*(
+        _bc.PatchBC(fbc.patch(p).kind, (0.0,) * len(fbc.patch(p).value))
+        for p in _bc.PATCHES
+    ))
+
+
+# ---------------------------------------------------------------------------
+# fvm::ddt
+# ---------------------------------------------------------------------------
+
+
+def ddt(field_old, dt: float, grid: Grid, coeff=None, coeff_old=None) -> LinTerm:
+    """fvm::ddt(c) or fvm::ddt(coeff, c) with Euler scheme.
+
+    diag = V*coeff/dt; rhs = V*coeff_old/dt*c_old (old coeff with old field,
+    matching OpenFOAM EulerDdtScheme::fvmDdt).
+    """
+    V = grid.cell_volume
+    if coeff is None:
+        coeff = jnp.ones(grid.shape, field_old.dtype)
+        coeff_old = coeff
+    if coeff_old is None:
+        coeff_old = coeff
+    diag = V / dt * coeff
+    rhs = V / dt * coeff_old * field_old
+    return LinTerm(diag, lambda x: diag * x, rhs)
+
+
+# ---------------------------------------------------------------------------
+# fvm::Sp  (implicit source)
+# ---------------------------------------------------------------------------
+
+
+def Sp(s, grid: Grid) -> LinTerm:
+    """fvm::Sp(s, c): appears on LHS as +s*V*c."""
+    V = grid.cell_volume
+    diag = s * V
+    return LinTerm(diag, lambda x: diag * x, jnp.zeros(grid.shape, diag.dtype))
+
+
+def source(src, grid: Grid) -> LinTerm:
+    """Explicit source on the RHS (volume-integrated): ... == src."""
+    V = grid.cell_volume
+    z = jnp.zeros(grid.shape, src.dtype)
+    return LinTerm(z, lambda x: jnp.zeros_like(x), src * V)
+
+
+# ---------------------------------------------------------------------------
+# fvm::div(phi, c)
+# ---------------------------------------------------------------------------
+
+
+def _bc_conv_coeffs(patch: _bc.PatchBC, lo: bool, phi_slab, dtype):
+    """(internal_coeff, boundary_value) for a convected boundary face."""
+    k = patch.kind
+    zero = jnp.zeros_like(phi_slab)
+    one = jnp.ones_like(phi_slab)
+    if k == _bc.FIXED_VALUE:
+        return zero, jnp.full_like(phi_slab, patch.value[0])
+    if k in (_bc.ZERO_GRADIENT, _bc.SLIP):
+        return one, zero
+    if k == _bc.EMPTY:
+        return zero, zero
+    if k == _bc.INLET_OUTLET:
+        outflow = (phi_slab < 0) if lo else (phi_slab > 0)
+        ic = jnp.where(outflow, 1.0, 0.0)
+        bv = jnp.where(outflow, 0.0, patch.value[0])
+        return ic, bv
+    if k == _bc.CYCLIC:
+        # handled as an internal (wrapping) face in div(); marker only
+        return None, None
+    raise ValueError(f"unknown BC kind {k}")
+
+
+def div(phi: FaceField, field, grid: Grid, fbc: _bc.FieldBC,
+        weights: Optional[FaceField] = None) -> LinTerm:
+    """fvm::div(phi, c) with owner-side face weights (from ops.limited_weights
+    or 0.5 for pure linear). Cyclic patches are wrap-around internal faces
+    with central weighting.
+    """
+    if weights is None:
+        weights = FaceField(*(jnp.full_like(phi[a], 0.5) for a in range(3)))
+
+    def apply_fn(x):
+        out = jnp.zeros_like(x)
+        for a in range(3):
+            pm = ops._mv(phi[a], a)
+            wm = ops._mv(weights[a], a)
+            xm = ops._mv(x, a)
+            lo_p, hi_p = fbc.axis(a)
+            # internal faces
+            fval = wm[1:-1] * xm[:-1] + (1.0 - wm[1:-1]) * xm[1:]
+            Fint = pm[1:-1] * fval
+            if lo_p.kind == _bc.CYCLIC:
+                wrapval = 0.5 * (xm[-1:] + xm[:1])
+                Flo = pm[:1] * wrapval
+                Fhi = pm[-1:] * wrapval
+            else:
+                # linear part only: boundary-value contributions live in rhs
+                ic_lo, _ = _bc_conv_coeffs(lo_p, True, pm[:1], x.dtype)
+                ic_hi, _ = _bc_conv_coeffs(hi_p, False, pm[-1:], x.dtype)
+                Flo = pm[:1] * ic_lo * xm[:1]
+                Fhi = pm[-1:] * ic_hi * xm[-1:]
+            F = jnp.concatenate([Flo, Fint, Fhi], axis=0)
+            out = out + ops._mvback(F[1:] - F[:-1], a)
+        return out
+
+    # diagonal: contribution of x_j to its own cells' divergence
+    diag = jnp.zeros(grid.shape, phi.x.dtype)
+    rhs = jnp.zeros(grid.shape, phi.x.dtype)
+    for a in range(3):
+        pm = ops._mv(phi[a], a)
+        wm = ops._mv(weights[a], a)
+        dm = jnp.zeros_like(ops._mv(diag, a))
+        rm = jnp.zeros_like(dm)
+        # internal faces: owner j gets +phi*w (its hi face), neighbor j+1
+        # gets -phi*(1-w) (its lo face)
+        dm = dm.at[:-1].add(pm[1:-1] * wm[1:-1])
+        dm = dm.at[1:].add(-pm[1:-1] * (1.0 - wm[1:-1]))
+        lo_p, hi_p = fbc.axis(a)
+        if lo_p.kind == _bc.CYCLIC:
+            # wrap face value 0.5*(x_first + x_last); lo face of cell 0
+            # contributes -phi_lo*0.5*x_0 to cell 0 diag (x_last part offdiag)
+            dm = dm.at[:1].add(-pm[:1] * 0.5)
+            dm = dm.at[-1:].add(pm[-1:] * 0.5)
+        else:
+            ic_lo, bv_lo = _bc_conv_coeffs(lo_p, True, pm[:1], diag.dtype)
+            ic_hi, bv_hi = _bc_conv_coeffs(hi_p, False, pm[-1:], diag.dtype)
+            dm = dm.at[:1].add(-pm[:1] * ic_lo)
+            dm = dm.at[-1:].add(pm[-1:] * ic_hi)
+            rm = rm.at[:1].add(pm[:1] * bv_lo)
+            rm = rm.at[-1:].add(-pm[-1:] * bv_hi)
+        diag = diag + ops._mvback(dm, a)
+        rhs = rhs + ops._mvback(rm, a)
+
+    return LinTerm(diag, apply_fn, rhs)
+
+
+# ---------------------------------------------------------------------------
+# fvm::laplacian(gamma, c)
+# ---------------------------------------------------------------------------
+
+
+def laplacian(gamma_face, grid: Grid, fbc: _bc.FieldBC,
+              phi: Optional[FaceField] = None,
+              dtype=jnp.float64) -> LinTerm:
+    """fvm::laplacian(gamma, c): LHS apply(x) = sum_f gamma_f A_f snGrad(x).
+
+    gamma_face: FaceField or scalar diffusion coefficient.
+    phi: flux for inletOutlet BC switching (rarely needed for laplacians).
+    """
+    if not isinstance(gamma_face, FaceField):
+        g = gamma_face
+        gamma_face = FaceField(
+            jnp.full((grid.nx + 1, grid.ny, grid.nz), g, dtype),
+            jnp.full((grid.nx, grid.ny + 1, grid.nz), g, dtype),
+            jnp.full((grid.nx, grid.ny, grid.nz + 1), g, dtype),
+        )
+    area = grid.face_area
+    spacing = grid.spacing
+    hom = _homogeneous(fbc)
+
+    def apply_fn(x):
+        g = ops.sn_grad(x, grid, hom, phi)
+        out = jnp.zeros_like(x)
+        for a in range(3):
+            F = gamma_face[a] * g[a] * area[a]
+            Fm = ops._mv(F, a)
+            out = out + ops._mvback(Fm[1:] - Fm[:-1], a)
+        return out
+
+    diag = jnp.zeros(grid.shape, dtype)
+    rhs = jnp.zeros(grid.shape, dtype)
+    for a in range(3):
+        gm = ops._mv(gamma_face[a], a)
+        coef_int = gm[1:-1] * area[a] / spacing[a]
+        dm = jnp.zeros_like(ops._mv(diag, a))
+        rm = jnp.zeros_like(dm)
+        dm = dm.at[:-1].add(-coef_int)
+        dm = dm.at[1:].add(-coef_int)
+        lo_p, hi_p = fbc.axis(a)
+        two_over_d = 2.0 * area[a] / spacing[a]
+        for is_lo, patch, gslab in ((True, lo_p, gm[:1]), (False, hi_p, gm[-1:])):
+            idx = slice(0, 1) if is_lo else slice(-1, None)
+            if patch.kind == _bc.FIXED_VALUE:
+                c = gslab * two_over_d
+                dm = dm.at[idx].add(-c)
+                rm = rm.at[idx].add(-c * patch.value[0])
+            elif patch.kind == _bc.CYCLIC:
+                c = gslab * area[a] / spacing[a]
+                dm = dm.at[idx].add(-c)
+            elif patch.kind == _bc.INLET_OUTLET:
+                assert phi is not None
+                pslab = ops._mv(phi[a], a)[idx]
+                outflow = (pslab < 0) if is_lo else (pslab > 0)
+                c = jnp.where(outflow, 0.0, gslab * two_over_d)
+                dm = dm.at[idx].add(-c)
+                rm = rm.at[idx].add(-c * patch.value[0])
+            # zeroGradient/empty/slip: zero flux, nothing to add
+        diag = diag + ops._mvback(dm, a)
+        rhs = rhs + ops._mvback(rm, a)
+
+    # equation convention: apply(x) == rhs; the boundary-value pieces were
+    # accumulated with the sign they need on the RHS already.
+    return LinTerm(diag, apply_fn, rhs)
+
+
+def laplacian_flux(gamma_face, x, grid: Grid, fbc: _bc.FieldBC,
+                   phi: Optional[FaceField] = None) -> FaceField:
+    """fvMatrix::flux() of a laplacian matrix: gamma_f A_f snGrad(x) per face."""
+    g = ops.sn_grad(x, grid, fbc, phi)
+    if not isinstance(gamma_face, FaceField):
+        gamma_face = FaceField(gamma_face, gamma_face, gamma_face)
+    area = grid.face_area
+    return FaceField(*(gamma_face[a] * g[a] * area[a] for a in range(3)))
