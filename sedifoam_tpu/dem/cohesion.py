@@ -1,0 +1,66 @@
+"""Van der Waals cohesion between spheres (fix cohesive).
+
+Dense ordered-pair version of interfaceToLammps/fix_cohesive.cpp:138-260:
+model 0 is the retarded 3-branch piecewise law (Hamaker constant `ah`,
+London wavelength `lam`, separation cutoffs smin/smax), model 1 the
+unretarded law. Attractive: ccel < 0 pulls particles together along the
+center line.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax.numpy as jnp
+
+from sedifoam_tpu.config import CohesionParams
+from sedifoam_tpu.dem.state import ParticleState
+
+_PINV = 0.25 / math.atan(1.0)  # 1/pi
+
+
+def cohesion_forces(state: ParticleState, params: Optional[CohesionParams]):
+    if params is None or params.ah == 0.0:
+        return jnp.zeros_like(state.vel)
+
+    x, rad = state.pos, state.radius
+    n = state.n_capacity
+    delta = x[:, None, :] - x[None, :, :]
+    rsq = jnp.sum(delta * delta, axis=-1)
+    radsum = rad[:, None] + rad[None, :]
+
+    valid = state.active[:, None] & state.active[None, :]
+    valid &= ~jnp.eye(n, dtype=bool)
+    cut = radsum + params.smax
+    within = valid & (rsq < cut * cut)
+
+    r = jnp.sqrt(jnp.where(within, rsq, 1.0))
+    sep = r - radsum  # surface separation (can be negative in contact)
+
+    ah, lam, smin = params.ah, params.lam, params.smin
+    if params.model == 0:
+        d_far = jnp.maximum(sep, 1e-300)
+        ccel_far = -ah * radsum * lam * (
+            6.4988e-3 - 4.5316e-4 * lam / d_far
+            + 1.1326e-5 * lam * lam / (d_far * d_far)) / d_far ** 3
+
+        def _mid(d):
+            return (-ah * (lam + 22.242 * d) * radsum * lam / 24.0
+                    / (lam + 11.121 * d) ** 2 / (d * d))
+
+        ccel_mid = _mid(jnp.maximum(sep, 1e-300))
+        ccel_min = _mid(jnp.full_like(sep, smin))
+        ccel = jnp.where(sep > lam * _PINV, ccel_far,
+                         jnp.where(sep > smin, ccel_mid, ccel_min))
+    else:
+        d = jnp.maximum(sep, 1e-300)
+        ccel_out = -ah * radsum ** 6 / 6.0 / (d * d) / (r + radsum) ** 2 / r ** 3
+        ccel_in = (-ah * radsum ** 6 / 6.0 / (smin * smin)
+                   / (smin + 2.0 * radsum) ** 2 / (smin + radsum) ** 3)
+        ccel = jnp.where(sep > smin, ccel_out, ccel_in)
+
+    ccel = jnp.where(within, ccel, 0.0)
+    rinv = 1.0 / r
+    f_pair = delta * (ccel * rinv)[..., None]
+    return jnp.sum(f_pair, axis=1)

@@ -1,0 +1,101 @@
+"""DEM time integration: nve/sphere velocity-Verlet with granular fixes.
+
+Reproduces one LAMMPS `run N pre no post no` (interfaceToLammps/
+library.cpp:372-386) as a `lax.scan` over substeps:
+
+  initial_integrate (nve/sphere) -> pair+wall contact forces ->
+  post_force fixes (gravity, fdrag incl. per-substep added mass,
+  cohesion) -> final_integrate
+
+Force state carries across calls exactly like LAMMPS's `pre no` run
+continuation; `setup_forces` is the one-time setup() pass (shearupdate
+off, matching pair_gran_hertzFix_history.cpp:65-66).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from sedifoam_tpu.config import DEMConfig
+from sedifoam_tpu.dem.cohesion import cohesion_forces
+from sedifoam_tpu.dem.pair import pair_forces
+from sedifoam_tpu.dem.state import ParticleState
+from sedifoam_tpu.dem.walls import wall_forces
+
+_INERTIA = 0.4  # solid sphere moment-of-inertia factor (LAMMPS nve/sphere)
+
+
+def compute_forces(state: ParticleState, cfg: DEMConfig,
+                   step_time: float = 0.0, shearupdate: bool = True
+                   ) -> ParticleState:
+    """Total force/torque + contact history update, LAMMPS fix order."""
+    dt = cfg.dt
+    f_pair, tq_pair, shear = pair_forces(state, cfg.pair, dt, shearupdate)
+    f_wall, tq_wall, wall_shear = wall_forces(
+        state, cfg.walls, dt, step_time, shearupdate)
+
+    g = jnp.asarray(cfg.gravity, state.vel.dtype)
+    f_grav = state.mass[:, None] * g[None, :]
+
+    # fix fdrag post_force (fix_fluid_drag.cpp:114-164)
+    f_drag = state.fdrag
+    v_old = state.v_old
+    if cfg.carrier_rho != 0.0:
+        acc = (state.vel - v_old) / dt
+        f_drag = f_drag + (cfg.carrier_rho / state.density)[:, None] * (
+            0.5 * state.mass[:, None] * (state.dudt - acc))
+    v_old = state.vel
+
+    f_cohe = cohesion_forces(state, cfg.cohesion)
+
+    force = f_pair + f_wall + f_grav + f_drag + f_cohe
+    torque = tq_pair + tq_wall
+
+    amask = state.active[:, None]
+    return state._replace(
+        force=jnp.where(amask, force, 0.0),
+        torque=jnp.where(amask, torque, 0.0),
+        shear=shear,
+        wall_shear=wall_shear,
+        v_old=jnp.where(amask, v_old, 0.0),
+    )
+
+
+def setup_forces(state: ParticleState, cfg: DEMConfig,
+                 step_time: float = 0.0) -> ParticleState:
+    """LAMMPS setup(): compute initial forces without advancing shear."""
+    return compute_forces(state, cfg, step_time, shearupdate=False)
+
+
+def _substep(state: ParticleState, cfg: DEMConfig, step_time):
+    dtf = 0.5 * cfg.dt
+    minv = jnp.where(state.active, 1.0 / state.mass, 0.0)[:, None]
+    iinv = jnp.where(state.active,
+                     1.0 / (_INERTIA * state.mass * state.radius ** 2),
+                     0.0)[:, None]
+
+    # initial_integrate (nve/sphere)
+    vel = state.vel + dtf * state.force * minv
+    pos = state.pos + cfg.dt * vel * state.active[:, None]
+    omega = state.omega + dtf * state.torque * iinv
+    state = state._replace(pos=pos, vel=vel, omega=omega)
+
+    # forces at the new positions
+    state = compute_forces(state, cfg, step_time, shearupdate=True)
+
+    # final_integrate
+    vel = state.vel + dtf * state.force * minv
+    omega = state.omega + dtf * state.torque * iinv
+    return state._replace(vel=vel, omega=omega)
+
+
+def run_dem(state: ParticleState, cfg: DEMConfig, n_steps: int,
+            t0: float = 0.0) -> ParticleState:
+    """Advance n_steps DEM substeps (lammps_step equivalent)."""
+
+    def body(carry, i):
+        return _substep(carry, cfg, t0 + i * cfg.dt), None
+
+    state, _ = jax.lax.scan(body, state, jnp.arange(n_steps))
+    return state

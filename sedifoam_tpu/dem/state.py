@@ -1,0 +1,117 @@
+"""Fixed-capacity struct-of-arrays particle state.
+
+The reference keeps particles in two places at once (OpenFOAM Cloud +
+LAMMPS Atom, reconciled over MPI: lammpsFoam/softParticleCloud.C). Here a
+single pytree owns everything; adding/deleting particles flips `active`
+mask bits (no recompiles, no migration).
+
+Per-particle fields mirror softParticle.H:63-107 plus the LAMMPS atom
+state; the dense contact-history tensors replace LAMMPS's per-neighbor
+shear storage.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class ParticleState(NamedTuple):
+    pos: jnp.ndarray        # (N, 3)
+    vel: jnp.ndarray        # (N, 3)
+    omega: jnp.ndarray      # (N, 3) angular velocity
+    radius: jnp.ndarray     # (N,)
+    mass: jnp.ndarray       # (N,)
+    density: jnp.ndarray    # (N,)
+    ptype: jnp.ndarray      # (N,) int32
+    tag: jnp.ndarray        # (N,) int32, 1-based like LAMMPS; 0 = empty slot
+    active: jnp.ndarray     # (N,) bool
+    force: jnp.ndarray      # (N, 3) current total force (velocity-Verlet carry)
+    torque: jnp.ndarray     # (N, 3)
+    # contact shear history: ordered-pair tensor, antisymmetric by
+    # construction (shear[i,j] accumulates vtr_ij*dt)
+    shear: jnp.ndarray      # (N, N, 3)
+    wall_shear: jnp.ndarray  # (N, W, 3); W = number of wall fixes
+    # fix fdrag state (interfaceToLammps/fix_fluid_drag.cpp): constant
+    # fluid force over a subcycle + per-substep added-mass bookkeeping
+    fdrag: jnp.ndarray      # (N, 3)
+    dudt: jnp.ndarray       # (N, 3) fluid DDtU at the particle
+    v_old: jnp.ndarray      # (N, 3) velocity at previous substep
+    # history-force (Basset) reduced-order state (enhancedCloud.C:197-234)
+    n0: jnp.ndarray         # (N,)
+    sum_delta_fb: jnp.ndarray  # (N, 3)
+    # coupling bookkeeping: velocity at the start of the fluid step
+    # (p.UOld() in enhancedCloud.C) used by added-mass/history forces
+    vel_fluid_old: jnp.ndarray  # (N, 3)
+
+    @property
+    def n_capacity(self):
+        return self.pos.shape[0]
+
+    @property
+    def n_active(self):
+        return jnp.sum(self.active)
+
+    @property
+    def volume(self):
+        return (4.0 / 3.0) * jnp.pi * self.radius ** 3
+
+    @property
+    def inertia(self):
+        """Moment of inertia of a solid sphere: 0.4*m*r^2 (LAMMPS INERTIA)."""
+        return 0.4 * self.mass * self.radius ** 2
+
+
+def make_particles(pos, radius, density, vel=None, omega=None, ptype=None,
+                   tag=None, capacity: Optional[int] = None, n_walls: int = 6,
+                   dtype=jnp.float64) -> ParticleState:
+    """Build a ParticleState from numpy/array inputs, padded to capacity."""
+    pos = np.asarray(pos, dtype=np.float64).reshape(-1, 3)
+    n = pos.shape[0]
+    capacity = capacity or n
+    assert capacity >= n
+
+    def pad2(a, fill=0.0):
+        out = np.full((capacity, 3), fill, dtype=np.float64)
+        out[:n] = a
+        return jnp.asarray(out, dtype)
+
+    def pad1(a, fill=0.0, dt=None):
+        out = np.full((capacity,), fill, dtype=np.float64)
+        out[:n] = a
+        return jnp.asarray(out, dt or dtype)
+
+    radius = np.broadcast_to(np.asarray(radius, np.float64), (n,))
+    density = np.broadcast_to(np.asarray(density, np.float64), (n,))
+    mass = density * (4.0 / 3.0) * np.pi * radius ** 3
+    vel = np.zeros((n, 3)) if vel is None else np.asarray(vel).reshape(-1, 3)
+    omega = np.zeros((n, 3)) if omega is None else np.asarray(omega).reshape(-1, 3)
+    ptype = np.ones(n) if ptype is None else np.asarray(ptype)
+    tag = np.arange(1, n + 1) if tag is None else np.asarray(tag)
+
+    active = np.zeros(capacity, bool)
+    active[:n] = True
+
+    return ParticleState(
+        pos=pad2(pos),
+        vel=pad2(vel),
+        omega=pad2(omega),
+        radius=pad1(radius),
+        mass=pad1(mass),
+        density=pad1(density),
+        ptype=pad1(ptype, 0, jnp.int32),
+        tag=pad1(tag, 0, jnp.int32),
+        active=jnp.asarray(active),
+        force=jnp.zeros((capacity, 3), dtype),
+        torque=jnp.zeros((capacity, 3), dtype),
+        shear=jnp.zeros((capacity, capacity, 3), dtype),
+        wall_shear=jnp.zeros((capacity, n_walls, 3), dtype),
+        fdrag=jnp.zeros((capacity, 3), dtype),
+        dudt=jnp.zeros((capacity, 3), dtype),
+        v_old=pad2(vel),
+        n0=pad1(np.zeros(n)),
+        sum_delta_fb=jnp.zeros((capacity, 3), dtype),
+        vel_fluid_old=pad2(vel),
+    )
