@@ -98,3 +98,107 @@ class CohesionParams:
     smin: float = 0.0     # minimum separation cutoff
     smax: float = 0.0     # maximum separation cutoff
     model: int = 0        # 0 = retarded, 1 = unretarded
+
+
+# ---------------------------------------------------------------------------
+# fluid (PISO two-phase solver)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class PISOConfig:
+    """system/fvSolution PISO block + pressure solver controls."""
+
+    n_correctors: int = 2
+    n_non_orth: int = 0          # trivial on orthogonal grids; kept for parity
+    p_ref_cell: int = 0
+    p_ref_value: float = 0.0
+    p_tol: float = 1e-10
+    p_rel_tol: float = 0.0
+    p_max_iter: int = 2000
+    momentum_relax: float = 1.0  # UbEqn.relax() factor (1 = no relaxation)
+
+
+@dataclasses.dataclass(frozen=True)
+class ChannelForcing:
+    """chPressureGrad (lammpsFoam/chPressureGrad/chPressureGrad.C).
+
+    mode: 'none' | 'Ubar' | 'gradPbar' | 'varyingGradP'.
+    """
+
+    mode: str = "none"
+    flow_direction: Tuple[float, float, float] = (1.0, 0.0, 0.0)
+    mag_ubar: float = 0.0        # target bulk velocity (Ubar mode)
+    grad_pbar: float = 0.0       # imposed gradient magnitude
+    dpdt: float = 0.0            # ramp rate (gradPbar mode)
+    period: float = 0.0          # varyingGradP period
+    varying_type: str = "sinusoidal"  # 'sinusoidal' | 'square'
+
+
+@dataclasses.dataclass(frozen=True)
+class TurbulenceConfig:
+    """lammpsFoamTurbulenceModels: laminar | kEpsilon | Smagorinsky |
+    mySmagorinsky (beta-weighted LES variant)."""
+
+    model: str = "laminar"
+    # kEpsilon coefficients (standard)
+    Cmu: float = 0.09
+    C1: float = 1.44
+    C2: float = 1.92
+    sigma_k: float = 1.0
+    sigma_eps: float = 1.3
+    # Smagorinsky
+    Ck: float = 0.094
+    Ce: float = 1.048
+
+
+# ---------------------------------------------------------------------------
+# coupling (enhancedCloud / cloudProperties)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class CloudConfig:
+    """constant/cloudProperties (read at softParticleCloud.C:445-513,
+    enhancedCloud.C:573-620, createFields.H:126-159)."""
+
+    drag_model: str = "SyamlalOBrien"
+    sub_cycles: int = 1
+    sub_steps: int = 1              # DEM substeps per subcycle (adjusted)
+    diffusion_band_width: float = 0.006
+    diffusion_steps: int = 6
+    smooth_direction: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    # smoothing flags
+    uf_smooth: bool = True
+    up_smooth: bool = True
+    drag_smooth: bool = True
+    alpha_smooth: bool = True
+    # per-particle force switches (enhancedCloud.C:586-598)
+    particle_drag: bool = True
+    particle_pressure_grad: bool = True
+    particle_buoyancy: bool = False
+    particle_added_mass: bool = False
+    particle_lift: bool = False
+    particle_history_force: bool = False
+    lubrication_force: bool = False
+    # inlet forcing region (addParticleOption related)
+    inlet_force: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    inlet_box: Tuple[float, ...] = ()   # (xlo,xhi,ylo,yhi,zlo,zhi)
+    # particle deletion outside the domain (OpenFOAM wall-patch hits
+    # delete particles: softParticle.C:177-184)
+    delete_outside: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class FluidConfig:
+    dt: float
+    rhob: float = 1000.0        # carrier density
+    nub: float = 1e-6           # carrier kinematic viscosity
+    rhoa: float = 2000.0        # particle density (transport dict)
+    Cvm: float = 0.0            # virtual-mass coefficient
+    Cl: float = 0.0             # lift coefficient
+    gravity: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    max_possible_alpha: float = 0.70
+    piso: PISOConfig = PISOConfig()
+    forcing: ChannelForcing = ChannelForcing()
+    turbulence: TurbulenceConfig = TurbulenceConfig()

@@ -1,0 +1,129 @@
+"""Subcycled particle evolution (enhancedCloud::evolve,
+enhancedCloud.C:669-787) and the post-move coupling-source computation
+(calcTcFields via liftDragCoeffs.H).
+
+Per fluid step:
+  1. UfSmoothed = smooth((1-gamma) Uf)/(1-gamma)
+  2. for k in subCycles:
+       - Uri refresh, 7-force per-particle sum (forces.py)
+       - subSteps DEM substeps with the force held constant (fdrag fix)
+       - delete particles that left the domain (the OpenFOAM wall-patch
+         delete: softParticle.C:177-184)
+       - k == 0: particleToEulerianField -> (alpha, Ua)
+  3. liftDragCoeffs.H: cap alpha, calcTcFields -> Asrc, lift coefficient
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax.numpy as jnp
+
+from sedifoam_tpu import bc as _bc
+from sedifoam_tpu import ops
+from sedifoam_tpu.config import CloudConfig, DEMConfig, FluidConfig
+from sedifoam_tpu.coupling import drag as _drag
+from sedifoam_tpu.coupling import forces as _forces
+from sedifoam_tpu.coupling import smoothing as _smoothing
+from sedifoam_tpu.coupling import transfer as _transfer
+from sedifoam_tpu.dem import integrate as _dem
+from sedifoam_tpu.dem.state import ParticleState
+from sedifoam_tpu.fluid.state import FluidBCs, FluidState
+from sedifoam_tpu.grid import Grid
+
+
+def _smooth_fn(grid: Grid, ccfg: CloudConfig):
+    return partial(_smoothing.smooth, grid=grid,
+                   bandwidth=ccfg.diffusion_band_width,
+                   steps=ccfg.diffusion_steps,
+                   direction=ccfg.smooth_direction)
+
+
+def _delete_outside(state: ParticleState, grid: Grid) -> ParticleState:
+    """Deactivate particles that left the fluid domain (OpenFOAM deletes
+    them on wall-patch hit during Cloud::move)."""
+    lo = jnp.array([grid.x0, grid.y0, grid.z0])
+    hi = jnp.array(grid.hi)
+    inside = jnp.all((state.pos >= lo) & (state.pos <= hi), axis=-1)
+    return state._replace(active=state.active & inside)
+
+
+def evolve(fluid: FluidState, particles: ParticleState,
+           uf_smoothed_old, grid: Grid, bcs: FluidBCs,
+           ccfg: CloudConfig, dcfg: DEMConfig, fcfg: FluidConfig
+           ) -> Tuple[FluidState, ParticleState, jnp.ndarray]:
+    """One full evolve(). Returns (fluid', particles', UfSmoothed)."""
+    smooth = _smooth_fn(grid, ccfg)
+    gamma = fluid.alpha
+
+    uf = fluid.Ub
+    if ccfg.uf_smooth:
+        uf_smoothed = _transfer.weighted_smooth_uf(uf, gamma, smooth)
+    else:
+        uf_smoothed = uf
+
+    # frozen during the subcycle loop (p, Ub unchanged inside evolve)
+    grad_p = ops.grad(fluid.p, grid, bcs.p)
+    curl_u = ops.curl(fluid.Ub, grid, bcs.Ub)
+
+    alpha, Ua = fluid.alpha, fluid.Ua
+    for k in range(ccfg.sub_cycles):
+        p_drag, p_dudt, particles = _forces.particle_forces(
+            particles, uf_smoothed, uf_smoothed_old, grad_p, curl_u,
+            fluid.DDtUb, grid, ccfg, fcfg, alpha, fluid.step)
+
+        vel_before = particles.vel
+        particles = particles._replace(fdrag=p_drag, dudt=p_dudt)
+        particles = _dem.run_dem(particles, dcfg, ccfg.sub_steps,
+                                 t0=float(0.0))
+        # p.UOld() = pre-DEM velocity (softParticleCloud.C:570)
+        particles = particles._replace(vel_fluid_old=vel_before)
+
+        if ccfg.delete_outside:
+            particles = _delete_outside(particles, grid)
+
+        if k == 0:
+            alpha, Ua = _transfer.particle_to_eulerian(
+                particles, grid, smooth, ccfg.alpha_smooth, ccfg.up_smooth)
+
+    fluid = fluid._replace(alpha=alpha, Ua=Ua)
+    return fluid, particles, uf_smoothed
+
+
+def lift_drag_coeffs(fluid: FluidState, particles: ParticleState,
+                     uf_smoothed, grid: Grid, bcs: FluidBCs,
+                     ccfg: CloudConfig, fcfg: FluidConfig) -> FluidState:
+    """liftDragCoeffs.H + calcTcFields: alpha cap, Asrc, lift coefficient."""
+    smooth = _smooth_fn(grid, ccfg)
+
+    # cap unphysical alpha (liftDragCoeffs.H:6-14)
+    alpha = jnp.minimum(fluid.alpha, fcfg.max_possible_alpha)
+
+    # calcTcFields: per-particle Jd at current state
+    cells = _transfer.particle_cells(particles, grid)
+    p_alpha = _transfer.gather_from_grid(alpha, cells)
+    uf_at_p = _transfer.gather_from_grid(uf_smoothed, cells)
+    uri = uf_at_p - particles.vel
+    mag_uri = jnp.sqrt(jnp.sum(uri * uri, axis=-1))
+    d = jnp.maximum(2.0 * particles.radius, 1e-300)
+    jd_vals = _drag.jd(ccfg.drag_model, mag_uri, p_alpha, d,
+                       fcfg.nub, fcfg.rhob)
+
+    asrc = _transfer.calc_asrc(particles, jd_vals, uf_smoothed, alpha,
+                               grid, smooth, ccfg.drag_smooth)
+
+    # Omega_ *= 0 (enhancedCloud.C:391): implicit drag disabled
+    drag_coef = jnp.zeros_like(alpha)
+
+    # liftCoeff = Cl*beta*rhob*(Ur ^ curl U)  (liftDragCoeffs.H:23)
+    beta = 1.0 - alpha
+    Ur = fluid.Ua - fluid.Ub
+    U_mix = alpha[None] * fluid.Ua + beta[None] * fluid.Ub
+    curl_U = ops.curl(U_mix, grid, _bc.uniform_bc(_bc.ZERO_GRADIENT,
+                                                  (0.0, 0.0, 0.0)))
+    lift = fcfg.Cl * (beta * fcfg.rhob)[None] * jnp.cross(
+        Ur, curl_U, axisa=0, axisb=0, axisc=0)
+
+    return fluid._replace(alpha=alpha, Asrc=asrc, drag_coef=drag_coef,
+                          lift_coeff=lift)

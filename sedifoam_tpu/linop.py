@@ -285,7 +285,8 @@ def laplacian(gamma_face, grid: Grid, fbc: _bc.FieldBC,
                 c = gslab * area[a] / spacing[a]
                 dm = dm.at[idx].add(-c)
             elif patch.kind == _bc.INLET_OUTLET:
-                assert phi is not None
+                if phi is None:
+                    continue  # zeroGradient fallback (no flux context)
                 pslab = ops._mv(phi[a], a)[idx]
                 outflow = (pslab < 0) if is_lo else (pslab > 0)
                 c = jnp.where(outflow, 0.0, gslab * two_over_d)

@@ -38,12 +38,24 @@ def norm_factor(apply_fn: Callable, x, b):
     return jnp.sum(jnp.abs(Ax - Aref) + jnp.abs(b - Aref)) + _SMALL
 
 
+def _safe_ratio(num, den):
+    """num/den with a hard guard against denormal/zero denominators that
+    would otherwise blow up at round-off stagnation (0*inf -> NaN)."""
+    bad = jnp.abs(den) < 1e-290
+    return jnp.where(bad, 0.0, num / jnp.where(bad, 1.0, den))
+
+
 def pcg(apply_fn: Callable, b, x0, diag, tol: float = 1e-10,
         rel_tol: float = 0.0, max_iter: int = 1000) -> SolveResult:
     """Preconditioned conjugate gradient with Jacobi preconditioner.
 
-    apply_fn must be LINEAR and symmetric positive definite in the flattened
-    cell space. Operates on fields of any shape.
+    apply_fn must be LINEAR and symmetric (positive or negative) definite
+    in the flattened cell space. Operates on fields of any shape.
+
+    OpenFOAM-style normalized tolerances can be unreachable in f64 when the
+    RHS is nearly zero (the true residual hits the round-off floor first);
+    a stagnation detector stops the loop once the residual stops improving,
+    which both matches the achievable answer and avoids burning max_iter.
     """
     inv_diag = 1.0 / jnp.where(diag == 0.0, 1.0, diag)
 
@@ -52,27 +64,30 @@ def pcg(apply_fn: Callable, b, x0, diag, tol: float = 1e-10,
     res0 = jnp.sum(jnp.abs(r0)) / nf
 
     def cond(state):
-        x, r, p, rz, it, res = state
+        x, r, p, rz, it, res, best, stall = state
         not_conv = (res > tol) & (res > rel_tol * res0)
-        return not_conv & (it < max_iter)
+        return not_conv & (it < max_iter) & (stall < 8) & jnp.isfinite(res)
 
     def body(state):
-        x, r, p, rz_old, it, _ = state
+        x, r, p, rz_old, it, _, best, stall = state
         z = inv_diag * r
         rz = jnp.sum(r * z)
-        beta = jnp.where(it == 0, 0.0, rz / jnp.where(rz_old == 0, 1.0, rz_old))
+        beta = jnp.where(it == 0, 0.0, _safe_ratio(rz, rz_old))
         p = z + beta * p
         Ap = apply_fn(p)
         pAp = jnp.sum(p * Ap)
-        alpha = rz / jnp.where(pAp == 0, 1.0, pAp)
+        alpha = _safe_ratio(rz, pAp)
         x = x + alpha * p
         r = r - alpha * Ap
         res = jnp.sum(jnp.abs(r)) / nf
-        return (x, r, p, rz, it + 1, res)
+        improved = res < 0.999 * best
+        stall = jnp.where(improved, 0, stall + 1)
+        best = jnp.minimum(best, res)
+        return (x, r, p, rz, it + 1, res, best, stall)
 
     init = (x0, r0, jnp.zeros_like(x0), jnp.array(1.0, x0.dtype),
-            jnp.array(0, jnp.int32), res0)
-    x, r, p, rz, it, res = jax.lax.while_loop(cond, body, init)
+            jnp.array(0, jnp.int32), res0, res0, jnp.array(0, jnp.int32))
+    x, r, p, rz, it, res, best, stall = jax.lax.while_loop(cond, body, init)
     return SolveResult(x, res0, res, it)
 
 
@@ -93,31 +108,33 @@ def bicgstab(apply_fn: Callable, b, x0, diag, tol: float = 1e-10,
     res0 = jnp.sum(jnp.abs(r0)) / nf
 
     def cond(state):
-        y, r, p, v, rho, alpha, omega, it, res = state
-        return (res > tol) & (res > rel_tol * res0) & (it < max_iter)
+        y, r, p, v, rho, alpha, omega, it, res, best, stall = state
+        not_conv = (res > tol) & (res > rel_tol * res0)
+        return not_conv & (it < max_iter) & (stall < 10) & jnp.isfinite(res)
 
     def body(state):
-        y, r, p, v, rho_old, alpha, omega, it, _ = state
+        y, r, p, v, rho_old, alpha, omega, it, _, best, stall = state
         rho = jnp.sum(rhat * r)
-        beta = (rho / jnp.where(rho_old == 0, 1.0, rho_old)) * (
-            alpha / jnp.where(omega == 0, 1.0, omega))
+        beta = _safe_ratio(rho, rho_old) * _safe_ratio(alpha, omega)
         beta = jnp.where(it == 0, 0.0, beta)
         p = r + beta * (p - omega * v)
         v = prec_apply(p)
-        denom = jnp.sum(rhat * v)
-        alpha = rho / jnp.where(denom == 0, 1.0, denom)
+        alpha = _safe_ratio(rho, jnp.sum(rhat * v))
         s = r - alpha * v
         t = prec_apply(s)
-        tt = jnp.sum(t * t)
-        omega = jnp.sum(t * s) / jnp.where(tt == 0, 1.0, tt)
+        omega = _safe_ratio(jnp.sum(t * s), jnp.sum(t * t))
         y = y + alpha * p + omega * s
         r = s - omega * t
         res = jnp.sum(jnp.abs(r)) / nf
-        return (y, r, p, v, rho, alpha, omega, it + 1, res)
+        improved = res < 0.999 * best
+        stall = jnp.where(improved, 0, stall + 1)
+        best = jnp.minimum(best, res)
+        return (y, r, p, v, rho, alpha, omega, it + 1, res, best, stall)
 
     one = jnp.array(1.0, x0.dtype)
     init = (y0, r0, jnp.zeros_like(x0), jnp.zeros_like(x0),
-            one, one, one, jnp.array(0, jnp.int32), res0)
-    y, r, p, v, rho, alpha, omega, it, res = jax.lax.while_loop(
+            one, one, one, jnp.array(0, jnp.int32), res0, res0,
+            jnp.array(0, jnp.int32))
+    y, r, p, v, rho, alpha, omega, it, res, best, stall = jax.lax.while_loop(
         cond, body, init)
     return SolveResult(inv_diag * y, res0, res, it)

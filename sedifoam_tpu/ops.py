@@ -69,7 +69,10 @@ def _boundary_face_value(cell_slab, patch: _bc.PatchBC, lo: bool,
     if k == _bc.CYCLIC:
         return 0.5 * (cell_slab + other_slab)
     if k == _bc.INLET_OUTLET:
-        assert phi_slab is not None, "inletOutlet needs a flux"
+        if phi_slab is None:
+            # no flux context (explicit gradient ops): fall back to the
+            # zeroGradient branch, like OpenFOAM's stale boundary values
+            return cell_slab
         outflow = (phi_slab < 0) if lo else (phi_slab > 0)
         inlet = jnp.full_like(cell_slab, patch.value[0])
         return jnp.where(outflow, cell_slab, inlet)
@@ -90,7 +93,8 @@ def _boundary_sngrad(cell_slab, patch: _bc.PatchBC, lo: bool, d: float,
         # wrap: gradient between last and first cell, spacing d
         return ((cell_slab - other_slab) / d) if lo else ((other_slab - cell_slab) / d)
     if k == _bc.INLET_OUTLET:
-        assert phi_slab is not None
+        if phi_slab is None:
+            return jnp.zeros_like(cell_slab)
         outflow = (phi_slab < 0) if lo else (phi_slab > 0)
         v = jnp.full_like(cell_slab, patch.value[0])
         g_fix = (cell_slab - v) * (2.0 / d) if lo else (v - cell_slab) * (2.0 / d)
@@ -202,13 +206,29 @@ def flux_of(v, grid: Grid, vbc: _bc.FieldBC,
     ))
 
 
-def average_to_cells(fv: FaceField, grid: Grid):
-    """fvc::average(interp(c)) analogue: mean of the 6 face values per cell."""
-    def _m(fa, axis):
-        fm = _mv(fa, axis)
-        return _mvback(0.5 * (fm[1:] + fm[:-1]), axis)
+def average_to_cells(fv: FaceField, grid: Grid,
+                     fbc: Optional[_bc.FieldBC] = None):
+    """fvc::average analogue: mean of a cell's face values.
 
-    return (_m(fv.x, 0) + _m(fv.y, 1) + _m(fv.z, 2)) / 3.0
+    Empty patches contribute no faces (a 2D OpenFOAM mesh has no faces on
+    empty patches), so both the sum and the count skip them.
+    """
+    total = jnp.zeros(grid.shape, fv.x.dtype)
+    count = jnp.zeros(grid.shape, fv.x.dtype)
+    for a in range(3):
+        fm = _mv(fv[a], a)
+        ones = jnp.ones_like(fm)
+        if fbc is not None:
+            lo_p, hi_p = fbc.axis(a)
+            if lo_p.kind == _bc.EMPTY:
+                fm = fm.at[:1].set(0.0)
+                ones = ones.at[:1].set(0.0)
+            if hi_p.kind == _bc.EMPTY:
+                fm = fm.at[-1:].set(0.0)
+                ones = ones.at[-1:].set(0.0)
+        total = total + _mvback(0.5 * (fm[1:] + fm[:-1]), a)
+        count = count + _mvback(0.5 * (ones[1:] + ones[:-1]), a)
+    return total / jnp.maximum(count, 0.5)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,110 @@
+"""Fluid PISO solver tests: single-phase sanity (alpha = 0).
+
+With no particles the two-phase solver must behave as a standard
+incompressible PISO — these check mass conservation and the analytic
+Poiseuille profile for the channel-forcing path (chPressureGrad analog).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sedifoam_tpu import bc
+from sedifoam_tpu.config import ChannelForcing, FluidConfig, PISOConfig
+from sedifoam_tpu.fluid.state import FluidBCs, init_fluid
+from sedifoam_tpu.fluid.step import fluid_step
+from sedifoam_tpu.grid import Grid
+
+
+def _channel_setup(ny=16, G=0.02, H=0.01, nub=1e-5):
+    """Periodic-x plane channel, walls at y=0,H, forced by gradPbar=G."""
+    grid = Grid(nx=4, ny=ny, nz=1, dx=H / 4, dy=H / ny, dz=H)
+    cyc = bc.PatchBC(bc.CYCLIC)
+    wall0 = bc.PatchBC(bc.FIXED_VALUE, (0.0, 0.0, 0.0))
+    emp = bc.PatchBC(bc.EMPTY)
+    zg = bc.PatchBC(bc.ZERO_GRADIENT)
+    bcs = FluidBCs(
+        alpha=bc.make_field_bc({"xm": cyc, "xp": cyc, "zm": emp, "zp": emp}),
+        p=bc.make_field_bc({"xm": cyc, "xp": cyc, "ym": zg, "yp": zg,
+                            "zm": emp, "zp": emp}),
+        Ub=bc.make_field_bc({"xm": cyc, "xp": cyc, "ym": wall0, "yp": wall0,
+                             "zm": emp, "zp": emp},
+                            default=bc.PatchBC(bc.ZERO_GRADIENT,
+                                               (0.0, 0.0, 0.0))),
+        Ua=bc.make_field_bc({"xm": cyc, "xp": cyc, "zm": emp, "zp": emp},
+                            default=bc.PatchBC(bc.ZERO_GRADIENT,
+                                               (0.0, 0.0, 0.0))),
+    )
+    cfg = FluidConfig(
+        dt=2e-3, rhob=1000.0, nub=nub,
+        piso=PISOConfig(n_correctors=2, p_tol=1e-12),
+        forcing=ChannelForcing(mode="gradPbar", grad_pbar=G,
+                               flow_direction=(1.0, 0.0, 0.0)),
+    )
+    fs = init_fluid(grid)
+    return grid, bcs, cfg, fs
+
+
+def test_poiseuille_steady_profile():
+    G, H, nub = 0.02, 0.01, 1e-5
+    grid, bcs, cfg, fs = _channel_setup(G=G, H=H, nub=nub)
+
+    step = jax.jit(lambda s: fluid_step(s, grid, bcs, cfg))
+    # viscous time scale H^2/nu = 10 s; run to near steady state
+    for _ in range(3000):
+        fs = step(fs)
+
+    y = np.asarray(grid.cell_centers()[1][0, :, 0])
+    u = np.asarray(fs.Ub[0][0, :, 0])
+    u_exact = G / (2 * nub) * y * (H - y)
+    # near-wall cells carry the O(h^2) FV wall-treatment difference
+    np.testing.assert_allclose(u, u_exact, rtol=1.5e-2, atol=1e-4)
+    # x-invariance
+    np.testing.assert_allclose(np.asarray(fs.Ub[0]).std(axis=0).max(), 0.0,
+                               atol=1e-10)
+
+
+def test_continuity_after_piso():
+    grid, bcs, cfg, fs = _channel_setup()
+    step = jax.jit(lambda s: fluid_step(s, grid, bcs, cfg))
+    for _ in range(5):
+        fs = step(fs)
+    from sedifoam_tpu import ops
+    div_phib = np.asarray(ops.div_flux(fs.phib, grid))
+    assert np.abs(div_phib).max() < 1e-8
+
+
+def test_inlet_outlet_throughflow():
+    """Uniform inflow through a straight duct stays uniform and conserves
+    mass (xiaocase3 topology: fixedValue inlet, inletOutlet outlet)."""
+    H = 0.004
+    grid = Grid(nx=6, ny=10, nz=1, dx=H / 6, dy=H / 10, dz=5e-4)
+    vin = 0.05
+    inlet = bc.PatchBC(bc.FIXED_VALUE, (0.0, vin, 0.0))
+    outlet_u = bc.PatchBC(bc.INLET_OUTLET, (0.0, 0.0, 0.0))
+    wall0 = bc.PatchBC(bc.ZERO_GRADIENT, (0.0, 0.0, 0.0))  # slip-ish sanity
+    emp = bc.PatchBC(bc.EMPTY)
+    bcs = FluidBCs(
+        alpha=bc.make_field_bc({"zm": emp, "zp": emp}),
+        p=bc.make_field_bc({"ym": bc.PatchBC(bc.ZERO_GRADIENT),
+                            "yp": bc.PatchBC(bc.FIXED_VALUE, (0.0,)),
+                            "zm": emp, "zp": emp}),
+        Ub=bc.make_field_bc({"ym": inlet, "yp": outlet_u, "zm": emp,
+                             "zp": emp}, default=wall0),
+        Ua=bc.make_field_bc({"zm": emp, "zp": emp}, default=wall0),
+    )
+    cfg = FluidConfig(dt=2e-5, rhob=1000.0, nub=1e-6,
+                      piso=PISOConfig(n_correctors=2, p_tol=1e-12))
+    fs = init_fluid(grid, Ub=jnp.zeros((3,) + grid.shape).at[1].set(vin))
+
+    step = jax.jit(lambda s: fluid_step(s, grid, bcs, cfg))
+    for _ in range(50):
+        fs = step(fs)
+
+    u = np.asarray(fs.Ub[1])
+    np.testing.assert_allclose(u, vin, rtol=1e-6)
+    # inflow == outflow
+    qin = float(jnp.sum(fs.phib.y[:, 0]))
+    qout = float(jnp.sum(fs.phib.y[:, -1]))
+    np.testing.assert_allclose(qin, qout, rtol=1e-9)
