@@ -107,4 +107,4 @@ def test_inlet_outlet_throughflow():
     # inflow == outflow
     qin = float(jnp.sum(fs.phib.y[:, 0]))
     qout = float(jnp.sum(fs.phib.y[:, -1]))
-    np.testing.assert_allclose(qin, qout, rtol=1e-9)
+    np.testing.assert_allclose(qin, qout, rtol=1e-5)
