@@ -1,0 +1,123 @@
+"""Headline benchmark: coupled CFD-DEM throughput on one TPU chip.
+
+Runs a 3D fluidized-bed-style coupled case (dense-contact DEM + PISO
+fluid + diffusion-smoothed coupling, bfloat-free f32 path) and reports
+particle DEM substeps per second — the north-star throughput metric from
+BASELINE.md.
+
+vs_baseline: the reference publishes no in-repo throughput numbers
+(BASELINE.md); the comparison column uses a documented proxy of 5e6
+particle-substeps/s for the reference's CPU solver on one node (order of
+magnitude from the SediFoam paper's O(1e7) particles on O(1e2) cores at
+O(1) s/step). Replace when a measured reference number exists.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REFERENCE_PROXY_PSTEPS_PER_SEC = 5e6
+
+
+def build_case(n_particles=2048, nx=32, ny=64, nz=32, sub_steps=10):
+    from sedifoam_tpu import bc
+    from sedifoam_tpu.config import (CloudConfig, DEMConfig, FluidConfig,
+                                     PISOConfig, PairParams, WallSpec)
+    from sedifoam_tpu.dem.state import make_particles
+    from sedifoam_tpu.fluid.state import FluidBCs, init_fluid
+    from sedifoam_tpu.grid import Grid
+    from sedifoam_tpu.solver import SimConfig, initialize
+
+    dx = 2e-3
+    grid = Grid(nx=nx, ny=ny, nz=nz, dx=dx, dy=dx, dz=dx)
+    zg3 = bc.PatchBC(bc.ZERO_GRADIENT, (0.0, 0.0, 0.0))
+    vin = 0.1
+    bcs = FluidBCs(
+        alpha=bc.make_field_bc({
+            "ym": bc.PatchBC(bc.FIXED_VALUE, (0.0,)),
+            "yp": bc.PatchBC(bc.INLET_OUTLET, (0.0,))}),
+        p=bc.make_field_bc({"yp": bc.PatchBC(bc.FIXED_VALUE, (0.0,))}),
+        Ub=bc.make_field_bc({
+            "ym": bc.PatchBC(bc.FIXED_VALUE, (0.0, vin, 0.0)),
+            "yp": bc.PatchBC(bc.INLET_OUTLET, (0.0, 0.0, 0.0))},
+            default=bc.PatchBC(bc.FIXED_VALUE, (0.0, 0.0, 0.0))),
+        Ua=bc.make_field_bc({}, default=zg3),
+    )
+    dt = 5e-5
+    fluid_cfg = FluidConfig(
+        dt=dt, rhob=1000.0, nub=1e-6, gravity=(0.0, -9.81, 0.0),
+        piso=PISOConfig(n_correctors=2, p_tol=1e-6, p_max_iter=150),
+    )
+    cloud_cfg = CloudConfig(
+        drag_model="ErgunWenYu", sub_cycles=1, sub_steps=sub_steps,
+        diffusion_band_width=3 * dx, diffusion_steps=4,
+        particle_buoyancy=True,
+    )
+    pair = PairParams(style="hertz_history", kn=1e5, gamman=0.7, xmu=0.3)
+    L = (nx * dx, ny * dx, nz * dx)
+    walls = (
+        WallSpec(style="xplane", lo=0.0, hi=L[0], params=pair),
+        WallSpec(style="yplane", lo=0.0, hi=L[1], params=pair),
+        WallSpec(style="zplane", lo=0.0, hi=L[2], params=pair),
+    )
+    dem_cfg = DEMConfig(dt=dt / sub_steps, pair=pair, walls=walls,
+                        gravity=(0.0, -9.81, 0.0))
+    cfg = SimConfig(grid=grid, bcs=bcs, fluid=fluid_cfg, cloud=cloud_cfg,
+                    dem=dem_cfg)
+
+    # random loose packing in the lower third of the bed
+    rng = np.random.RandomState(42)
+    r = 5e-4
+    pos = rng.uniform([2 * r, 2 * r, 2 * r],
+                      [L[0] - 2 * r, L[1] / 3, L[2] - 2 * r],
+                      size=(n_particles, 3))
+    particles = make_particles(pos=pos, radius=r, density=2500.0,
+                               capacity=n_particles, n_walls=len(walls),
+                               dtype=jnp.float32)
+    fluid = init_fluid(grid, Ub=jnp.zeros((3,) + grid.shape, jnp.float32
+                                          ).at[1].set(vin),
+                       dtype=jnp.float32)
+    state = initialize(fluid, particles, cfg)
+    return cfg, state
+
+
+def main():
+    small = "--small" in sys.argv
+    n_particles = 256 if small else 2048
+    nx, ny, nz = (8, 16, 8) if small else (32, 64, 32)
+    sub_steps = 10
+
+    from sedifoam_tpu.solver import make_step_fn
+
+    cfg, state = build_case(n_particles=n_particles, nx=nx, ny=ny, nz=nz,
+                            sub_steps=sub_steps)
+    step = make_step_fn(cfg)
+
+    # warmup / compile
+    state = step(state)
+    jax.block_until_ready(state)
+
+    n_timed = 3 if small else 10
+    t0 = time.perf_counter()
+    for _ in range(n_timed):
+        state = step(state)
+    jax.block_until_ready(state)
+    dt_wall = time.perf_counter() - t0
+
+    psteps = n_particles * sub_steps * n_timed / dt_wall
+    print(json.dumps({
+        "metric": "particle_dem_substeps_per_sec_coupled",
+        "value": round(psteps, 1),
+        "unit": "particle-substeps/s",
+        "vs_baseline": round(psteps / REFERENCE_PROXY_PSTEPS_PER_SEC, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,49 @@
+"""Sharding specs for the coupled state over a device mesh."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from sedifoam_tpu.solver import SimState
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "d") -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), (axis,))
+
+
+def shard_state(state: SimState, mesh: Mesh, axis: str = "d") -> SimState:
+    """Place a SimState on the mesh.
+
+    - particle arrays: sharded along the capacity axis (the (N,N,3) shear
+      tensor along its first axis) — "particle parallelism";
+    - fluid grid fields: sharded along grid-x where divisible — "spatial
+      domain decomposition"; XLA adds the halo exchanges;
+    - scalars and small fields: replicated.
+    """
+    n_dev = mesh.shape[axis]
+    capacity = state.particles.pos.shape[0]
+    nx = state.fluid.p.shape[0]
+
+    def spec_for(x):
+        if x.ndim == 0:
+            return P()
+        shape = x.shape
+        # particle-capacity leading axis
+        if shape[0] == capacity and capacity % n_dev == 0:
+            return P(axis, *([None] * (x.ndim - 1)))
+        # grid scalar (nx, ny, nz) or vector (3, nx, ny, nz)
+        if x.ndim >= 3 and shape[-3] == nx and nx % n_dev == 0:
+            lead = [None] * (x.ndim - 3)
+            return P(*lead, axis, None, None)
+        return P(*([None] * x.ndim))
+
+    def place(x):
+        return jax.device_put(x, NamedSharding(mesh, spec_for(x)))
+
+    return jax.tree.map(place, state)
