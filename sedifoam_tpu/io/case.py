@@ -1,0 +1,312 @@
+"""Assemble a runnable simulation from a reference-format case directory.
+
+A sediFoam case is an OpenFOAM case dir (0/, constant/, system/) plus an
+in.lammps script + IC data file (SURVEY.md L5). This loader reads both
+with no modification and produces (SimConfig, FluidState, ParticleState).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from sedifoam_tpu import bc as _bc
+from sedifoam_tpu.config import (CloudConfig, DEMConfig, FluidConfig,
+                                 PISOConfig, TurbulenceConfig)
+from sedifoam_tpu.dem.state import ParticleState, make_particles
+from sedifoam_tpu.fluid.state import FluidBCs, FluidState, init_fluid
+from sedifoam_tpu.grid import Grid
+from sedifoam_tpu.io import foamdict, lammps
+from sedifoam_tpu.solver import SimConfig, adjust_dem_timestep
+
+_BC_TYPE_MAP = {
+    "fixedValue": _bc.FIXED_VALUE,
+    "zeroGradient": _bc.ZERO_GRADIENT,
+    "empty": _bc.EMPTY,
+    "cyclic": _bc.CYCLIC,
+    "inletOutlet": _bc.INLET_OUTLET,
+    "slip": _bc.SLIP,
+    "calculated": _bc.ZERO_GRADIENT,
+    "fixedFluxPressure": _bc.ZERO_GRADIENT,
+    "pressureInletOutletVelocity": _bc.INLET_OUTLET,
+    "symmetryPlane": _bc.ZERO_GRADIENT,
+    "noSlip": _bc.FIXED_VALUE,
+}
+
+
+@dataclasses.dataclass
+class CaseControls:
+    dt: float
+    end_time: float
+    write_interval: float
+    start_time: float = 0.0
+
+
+def read_block_mesh(path: str):
+    """blockMeshDict -> (Grid, {patch_name: [face_ids]}).
+
+    face ids: 0..5 = xm, xp, ym, yp, zm, zp. Single-block hex meshes only
+    (every reference case is one: e.g. xiaocase1/constant/polyMesh/
+    blockMeshDict).
+    """
+    d = foamdict.parse_file(path)
+    scale = float(d.get("convertToMeters", 1.0))
+    verts = np.asarray(d["vertices"], float) * scale
+    blocks = d["blocks"]
+    # ['hex', [v0..v7], [nx,ny,nz], 'simpleGrading', [..]]
+    ncells = None
+    for item in blocks:
+        if isinstance(item, list) and len(item) == 3 and all(
+                isinstance(x, int) for x in item):
+            ncells = item
+            break
+    assert ncells is not None, "no cell-count triplet in blocks"
+    lo = verts.min(axis=0)
+    hi = verts.max(axis=0)
+    nx, ny, nz = ncells
+    grid = Grid(nx=nx, ny=ny, nz=nz,
+                dx=(hi[0] - lo[0]) / nx,
+                dy=(hi[1] - lo[1]) / ny,
+                dz=(hi[2] - lo[2]) / nz,
+                x0=float(lo[0]), y0=float(lo[1]), z0=float(lo[2]))
+
+    def face_id_of_quad(quad: List[int]) -> Optional[int]:
+        pts = verts[quad]
+        for ax in range(3):
+            if np.allclose(pts[:, ax], lo[ax]):
+                return 2 * ax
+            if np.allclose(pts[:, ax], hi[ax]):
+                return 2 * ax + 1
+        return None
+
+    patch_faces: Dict[str, List[int]] = {}
+    assigned = set()
+
+    def add(name: str, quads):
+        ids = patch_faces.setdefault(name, [])
+        for q in quads:
+            fid = face_id_of_quad(q)
+            if fid is not None:
+                ids.append(fid)
+                assigned.add(fid)
+
+    patches = d.get("patches")
+    if patches:
+        i = 0
+        while i < len(patches):
+            # pattern: type name (quads) — `wall walls ((...)(...))`
+            ptype, name = patches[i], patches[i + 1]
+            quads = patches[i + 2]
+            add(name, quads)
+            i += 3
+    bnd = d.get("boundary")
+    if bnd and not patches:
+        i = 0
+        while i < len(bnd):
+            name = bnd[i]
+            spec = bnd[i + 1]
+            add(name, spec.get("faces", []))
+            i += 2
+
+    # unassigned faces -> blockMesh defaultFaces (empty)
+    rest = [f for f in range(6) if f not in assigned]
+    if rest:
+        patch_faces.setdefault("defaultFaces", []).extend(rest)
+    return grid, patch_faces
+
+
+def _read_field_bc(field_file: str, patch_faces: Dict[str, List[int]],
+                   n_comp: int) -> Tuple[_bc.FieldBC, object]:
+    """0/<field> -> (FieldBC, uniform internal value)."""
+    d = foamdict.parse_file(field_file)
+    internal = foamdict.uniform_value(d.get("internalField", 0.0))
+    bf = d.get("boundaryField", {})
+
+    slots: List[Optional[_bc.PatchBC]] = [None] * 6
+    for name, spec in bf.items():
+        if name not in patch_faces or not isinstance(spec, dict):
+            continue
+        kind_str = spec.get("type", "zeroGradient")
+        kind = _BC_TYPE_MAP.get(kind_str, _bc.ZERO_GRADIENT)
+        if kind == _bc.FIXED_VALUE:
+            val = foamdict.uniform_value(spec.get("value", 0.0))
+        elif kind == _bc.INLET_OUTLET:
+            val = foamdict.uniform_value(spec.get("inletValue", 0.0))
+        else:
+            val = 0.0
+        if isinstance(val, list):
+            vt = tuple(float(v) for v in val)
+        else:
+            vt = (float(val),) * n_comp
+        pb = _bc.PatchBC(kind, vt)
+        for fid in patch_faces[name]:
+            slots[fid] = pb
+    default = _bc.PatchBC(_bc.ZERO_GRADIENT, (0.0,) * n_comp)
+    return _bc.FieldBC(*(s or default for s in slots)), internal
+
+
+def load_case(case_dir: str, capacity: Optional[int] = None,
+              dtype=jnp.float64):
+    """Load a reference case -> (SimConfig, FluidState, ParticleState,
+    CaseControls)."""
+    sys_d = os.path.join(case_dir, "system")
+    const_d = os.path.join(case_dir, "constant")
+    zero_d = os.path.join(case_dir, "0")
+
+    grid, patch_faces = read_block_mesh(
+        os.path.join(const_d, "polyMesh", "blockMeshDict"))
+
+    control = foamdict.parse_file(os.path.join(sys_d, "controlDict"))
+    controls = CaseControls(
+        dt=float(control["deltaT"]),
+        end_time=float(control["endTime"]),
+        write_interval=float(control.get("writeInterval", 1.0)),
+        start_time=float(control.get("startTime", 0.0)),
+    )
+
+    fv_solution = foamdict.parse_file(os.path.join(sys_d, "fvSolution"))
+    piso_d = fv_solution.get("PISO", {})
+    p_solver = fv_solution.get("solvers", {}).get("p", {})
+    piso = PISOConfig(
+        n_correctors=int(piso_d.get("nCorrectors", 2)),
+        n_non_orth=int(piso_d.get("nNonOrthogonalCorrectors", 0)),
+        p_ref_cell=int(piso_d.get("pRefCell", 0)),
+        p_ref_value=float(piso_d.get("pRefValue", 0.0)),
+        p_tol=float(p_solver.get("tolerance", 1e-10)),
+        p_rel_tol=float(p_solver.get("relTol", 0.0)),
+    )
+
+    transport = foamdict.parse_file(os.path.join(const_d,
+                                                 "transportProperties"))
+    env = foamdict.parse_file(os.path.join(const_d,
+                                           "environmentalProperties"))
+    g = foamdict.dimensioned_vector(env.get("g", ["g", (0, 0, 0)]))
+
+    turb_file = os.path.join(const_d, "turbulenceProperties")
+    turb = TurbulenceConfig(model="laminar")
+    if os.path.exists(turb_file):
+        td = foamdict.parse_file(turb_file)
+        sim_type = td.get("simulationType", "laminar")
+        if sim_type in ("RAS", "RASModel") or "RAS" in td:
+            model = td.get("RAS", {}).get("RASModel", "kEpsilon") \
+                if isinstance(td.get("RAS"), dict) else "kEpsilon"
+            if td.get("RAS", {}).get("turbulence", "on") in ("off", False):
+                model = "laminar"
+            turb = TurbulenceConfig(model=model)
+        elif sim_type in ("LES", "LESModel") or "LES" in td:
+            les = td.get("LES", {}) if isinstance(td.get("LES"), dict) else {}
+            model = les.get("LESModel", "Smagorinsky")
+            if les.get("turbulence", "on") in ("off", False):
+                model = "laminar"
+            turb = TurbulenceConfig(model=model)
+
+    cloud_d = foamdict.parse_file(os.path.join(const_d, "cloudProperties"))
+    lod = foamdict.lookup_or_default
+
+    # LAMMPS side
+    lmp = lammps.parse_input_script(os.path.join(case_dir, "in.lammps"))
+    sub_cycles_req = int(lod(cloud_d, "subCycles", 1))
+    dt_dem, sub_cycles, sub_steps = adjust_dem_timestep(
+        controls.dt, lmp.dt, sub_cycles_req)
+
+    smooth_dir = lod(cloud_d, "smoothDirection",
+                     [1.0, 0, 0, 0, 1.0, 0, 0, 0, 1.0])
+    if isinstance(smooth_dir, list) and len(smooth_dir) == 9:
+        smooth_diag = (float(smooth_dir[0]), float(smooth_dir[4]),
+                       float(smooth_dir[8]))
+    else:
+        smooth_diag = (1.0, 1.0, 1.0)
+
+    inlet_force = lod(cloud_d, "inletForce", [0.0, 0.0, 0.0])
+    if not isinstance(inlet_force, list):
+        inlet_force = [0.0, 0.0, 0.0]
+
+    cloud_cfg = CloudConfig(
+        drag_model=str(lod(cloud_d, "dragModel", "SyamlalOBrien")),
+        sub_cycles=sub_cycles,
+        sub_steps=sub_steps,
+        diffusion_band_width=float(lod(cloud_d, "diffusionBandWidth", 0.006)),
+        diffusion_steps=int(lod(cloud_d, "diffusionSteps", 6)),
+        smooth_direction=smooth_diag,
+        uf_smooth=bool(lod(cloud_d, "UfSmooth", True)),
+        up_smooth=bool(lod(cloud_d, "UpSmooth", True)),
+        drag_smooth=bool(lod(cloud_d, "dragSmooth", True)),
+        alpha_smooth=bool(lod(cloud_d, "alphaSmooth", True)),
+        particle_drag=bool(lod(cloud_d, "particleDrag", True)),
+        particle_pressure_grad=bool(lod(cloud_d, "particlePressureGrad", True)),
+        particle_buoyancy=bool(lod(cloud_d, "particleBuoyancy", False)),
+        particle_added_mass=bool(lod(cloud_d, "particleAddedMass", False)),
+        particle_lift=bool(lod(cloud_d, "particleLift", False)),
+        particle_history_force=bool(lod(cloud_d, "particleHistoryForce", False)),
+        lubrication_force=bool(lod(cloud_d, "lubricationForce", False)),
+        inlet_force=tuple(float(v) for v in inlet_force),
+    )
+
+    fluid_cfg = FluidConfig(
+        dt=controls.dt,
+        rhob=foamdict.dimensioned_value(transport["rhob"]),
+        nub=foamdict.dimensioned_value(transport["nub"]),
+        rhoa=foamdict.dimensioned_value(transport.get("rhoa", 2000.0)),
+        Cvm=foamdict.dimensioned_value(transport.get("Cvm", 0.0)),
+        Cl=foamdict.dimensioned_value(transport.get("Cl", 0.0)),
+        gravity=tuple(g),
+        max_possible_alpha=float(lod(cloud_d, "maxPossibleAlpha", 0.70)),
+        piso=piso,
+        turbulence=turb,
+    )
+
+    dem_cfg = DEMConfig(
+        dt=dt_dem, pair=lmp.pair, walls=lmp.walls, gravity=lmp.gravity,
+        carrier_rho=lmp.carrier_rho, cohesion=lmp.cohesion,
+    )
+
+    # boundary conditions + initial fields
+    bcs_alpha, alpha0 = _read_field_bc(os.path.join(zero_d, "alpha"),
+                                       patch_faces, 1)
+    bcs_p, p0 = _read_field_bc(os.path.join(zero_d, "p"), patch_faces, 1)
+    bcs_Ub, Ub0 = _read_field_bc(os.path.join(zero_d, "Ub"), patch_faces, 3)
+    ua_file = os.path.join(zero_d, "Ua")
+    if os.path.exists(ua_file):
+        bcs_Ua, _ = _read_field_bc(ua_file, patch_faces, 3)
+    else:
+        bcs_Ua = _bc.uniform_bc(_bc.ZERO_GRADIENT, (0.0, 0.0, 0.0))
+        # mirror empty patches from Ub
+        bcs_Ua = _bc.FieldBC(*(
+            _bc.PatchBC(_bc.EMPTY, (0.0, 0.0, 0.0))
+            if bcs_Ub.patch(p).kind == _bc.EMPTY else bcs_Ua.patch(p)
+            for p in _bc.PATCHES))
+    bcs = FluidBCs(alpha=bcs_alpha, p=bcs_p, Ub=bcs_Ub, Ua=bcs_Ua)
+
+    cfg = SimConfig(grid=grid, bcs=bcs, fluid=fluid_cfg, cloud=cloud_cfg,
+                    dem=dem_cfg)
+
+    # fluid initial state
+    def uniform_field(val, vec=False):
+        if vec:
+            arr = jnp.zeros((3,) + grid.shape, dtype)
+            vals = val if isinstance(val, list) else [0.0, 0.0, 0.0]
+            for j in range(3):
+                arr = arr.at[j].set(float(vals[j]))
+            return arr
+        return jnp.full(grid.shape, float(val), dtype)
+
+    fluid = init_fluid(grid,
+                       alpha=uniform_field(alpha0),
+                       Ub=uniform_field(Ub0, vec=True),
+                       p=uniform_field(p0), dtype=dtype)
+
+    # particles from the LAMMPS data file
+    n = len(lmp.pos)
+    vel = None
+    if lmp.initial_velocity is not None:
+        vel = np.tile(np.asarray(lmp.initial_velocity), (n, 1))
+    particles = make_particles(
+        pos=lmp.pos, radius=lmp.diameter / 2.0, density=lmp.density,
+        vel=vel, ptype=lmp.ptype, tag=lmp.tag,
+        capacity=capacity or n, n_walls=len(lmp.walls), dtype=dtype)
+
+    return cfg, fluid, particles, controls

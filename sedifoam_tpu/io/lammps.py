@@ -1,0 +1,174 @@
+"""LAMMPS input-script + granular data-file reader.
+
+Parses the subset of commands the reference's in.lammps scripts use
+(pair_style gran/*, fix wall/gran, fix gravity, fix fdrag, fix cohesive,
+timestep, read_data; see cases/auto-testing/test-cases/*/in.lammps) and
+the `atom_style sphere` data file (id type diameter density x y z).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import re
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from sedifoam_tpu.config import (CohesionParams, PairParams, WallSpec)
+
+_STYLE_MAP = {
+    "gran/hooke": "hooke",
+    "gran/hooke/history": "hooke_history",
+    "gran/hertz/history": "hertz_history",
+    "gran/hertzFix/history": "hertz_history",
+}
+
+
+def _num(tok: str) -> Optional[float]:
+    if tok.upper() == "NULL":
+        return None
+    return float(tok)
+
+
+def _parse_pair_params(args: List[str], style: str) -> PairParams:
+    kn = float(args[0])
+    kt = _num(args[1])
+    gamman = float(args[2])
+    gammat = _num(args[3])
+    xmu = float(args[4])
+    dampflag = int(args[5])
+    return PairParams(style=style, kn=kn, kt=kt, gamman=gamman,
+                      gammat=gammat, xmu=xmu, dampflag=dampflag)
+
+
+@dataclasses.dataclass
+class LammpsCase:
+    dt: float = 1e-6
+    pair: PairParams = PairParams()
+    walls: Tuple[WallSpec, ...] = ()
+    gravity: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    carrier_rho: float = 0.0
+    cohesion: Optional[CohesionParams] = None
+    data_file: Optional[str] = None
+    initial_velocity: Optional[Tuple[float, float, float]] = None
+    # data file contents
+    box: Tuple[float, ...] = ()
+    pos: Optional[np.ndarray] = None
+    diameter: Optional[np.ndarray] = None
+    density: Optional[np.ndarray] = None
+    ptype: Optional[np.ndarray] = None
+    tag: Optional[np.ndarray] = None
+
+
+def parse_input_script(path: str) -> LammpsCase:
+    case = LammpsCase()
+    walls: List[WallSpec] = []
+    with open(path) as f:
+        for raw in f:
+            line = raw.split("#")[0].strip()
+            if not line:
+                continue
+            toks = line.split()
+            cmd = toks[0]
+            if cmd == "timestep":
+                case.dt = float(toks[1])
+            elif cmd == "read_data":
+                case.data_file = toks[1]
+            elif cmd == "pair_style":
+                style = toks[1]
+                if style in _STYLE_MAP:
+                    case.pair = _parse_pair_params(toks[2:8],
+                                                   _STYLE_MAP[style])
+                elif style == "none":
+                    case.pair = PairParams(style="none")
+            elif cmd == "velocity" and len(toks) >= 6 and toks[2] == "set":
+                case.initial_velocity = (float(toks[3]), float(toks[4]),
+                                         float(toks[5]))
+            elif cmd == "fix":
+                fstyle = toks[3]
+                if fstyle == "gravity":
+                    mag = float(toks[4])
+                    if toks[5] == "vector":
+                        v = np.array([float(toks[6]), float(toks[7]),
+                                      float(toks[8])])
+                        n = np.linalg.norm(v)
+                        g = mag * v / n if n > 0 else v * 0.0
+                        case.gravity = tuple(g.tolist())
+                elif fstyle == "fdrag":
+                    case.carrier_rho = float(toks[4]) if len(toks) > 4 else 0.0
+                elif fstyle in ("wall/gran", "wall/granFix"):
+                    # fix ID group wall/gran kn kt gamman gammat xmu damp
+                    #   style lo hi [args]
+                    params = _parse_pair_params(toks[4:10], case.pair.style
+                                                if case.pair.style != "none"
+                                                else "hooke_history")
+                    wstyle = toks[10]
+                    rest = toks[11:]
+                    if wstyle == "zcylinder":
+                        walls.append(WallSpec(style="zcylinder",
+                                              cylradius=float(rest[0]),
+                                              params=params))
+                    else:
+                        lo = _num(rest[0]) if len(rest) > 0 else None
+                        hi = _num(rest[1]) if len(rest) > 1 else None
+                        walls.append(WallSpec(style=wstyle, lo=lo, hi=hi,
+                                              params=params))
+                elif fstyle == "cohesive":
+                    # fix ID group cohesive ah lam smin smax opt
+                    case.cohesion = CohesionParams(
+                        ah=float(toks[4]), lam=float(toks[5]),
+                        smin=float(toks[6]), smax=float(toks[7]),
+                        model=int(toks[8]) if len(toks) > 8 else 0)
+    case.walls = tuple(walls)
+    if case.data_file:
+        data_path = os.path.join(os.path.dirname(path), case.data_file)
+        if os.path.exists(data_path):
+            _read_data_file(data_path, case)
+    return case
+
+
+def _read_data_file(path: str, case: LammpsCase) -> None:
+    with open(path) as f:
+        lines = f.readlines()
+
+    box = [0.0] * 6
+    atoms_start = None
+    n_atoms = 0
+    for i, line in enumerate(lines):
+        s = line.split("#")[0].strip()
+        if not s:
+            continue
+        if re.match(r"^\d+\s+atoms$", s):
+            n_atoms = int(s.split()[0])
+        m = re.match(r"^([-\d.eE+]+)\s+([-\d.eE+]+)\s+([xyz])lo\s+\3hi", s)
+        if m:
+            ax = "xyz".index(m.group(3))
+            box[2 * ax] = float(m.group(1))
+            box[2 * ax + 1] = float(m.group(2))
+        if s == "Atoms" or s.startswith("Atoms "):
+            atoms_start = i + 1
+    case.box = tuple(box)
+
+    if atoms_start is None:
+        return
+    rows = []
+    for line in lines[atoms_start:]:
+        s = line.split("#")[0].strip()
+        if not s:
+            if rows:
+                break
+            continue
+        parts = s.split()
+        if not parts[0].lstrip("-").isdigit():
+            break
+        rows.append([float(x) for x in parts])
+        if len(rows) == n_atoms:
+            break
+    arr = np.asarray(rows)
+    # atom_style sphere: id type diameter density x y z [ix iy iz]
+    case.tag = arr[:, 0].astype(np.int32)
+    case.ptype = arr[:, 1].astype(np.int32)
+    case.diameter = arr[:, 2]
+    case.density = arr[:, 3]
+    case.pos = arr[:, 4:7]

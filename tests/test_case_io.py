@@ -1,0 +1,92 @@
+"""Case-loader tests against the reference's own case directories."""
+
+import os
+
+import numpy as np
+import pytest
+
+from sedifoam_tpu import bc
+from sedifoam_tpu.io.case import load_case, read_block_mesh
+
+REF = "/root/reference/cases/auto-testing/test-cases"
+
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
+                                reason="reference cases not mounted")
+
+
+def test_blockmesh_xiaocase3():
+    grid, patches = read_block_mesh(
+        os.path.join(REF, "xiaocase3", "constant/polyMesh/blockMeshDict"))
+    assert grid.shape == (10, 10, 1)
+    np.testing.assert_allclose([grid.dx, grid.dy, grid.dz],
+                               [4e-4, 4e-4, 5e-4])
+    # inlet at y-min, outlet at y-max, walls at x faces, rest empty
+    assert patches["inlet"] == [2]
+    assert patches["outlet"] == [3]
+    assert sorted(patches["walls"]) == [0, 1]
+    assert sorted(patches["defaultFaces"]) == [4, 5]
+
+
+def test_load_xiaocase3():
+    cfg, fluid, particles, controls = load_case(os.path.join(REF, "xiaocase3"))
+    assert controls.dt == 2e-5
+    assert controls.end_time == 0.005
+    # transportProperties
+    assert cfg.fluid.rhob == 1000.0
+    assert cfg.fluid.nub == 1e-6
+    # cloudProperties
+    assert cfg.cloud.drag_model == "SyamlalOBrien"
+    assert cfg.cloud.sub_cycles == 1
+    assert cfg.cloud.sub_steps == 100
+    assert cfg.cloud.diffusion_band_width == 2e-4
+    # DEM: pair gran/hooke/history 5000 NULL 11200 NULL 0.1 0
+    assert cfg.dem.pair.style == "hooke_history"
+    assert cfg.dem.pair.kn == 5000.0
+    assert cfg.dem.pair.gamman == 11200.0
+    assert cfg.dem.pair.dampflag == 0
+    assert len(cfg.dem.walls) == 3
+    np.testing.assert_allclose(cfg.dem.dt, 2e-7)
+    # gravity: fluid zero; DEM fix gravity magnitude 0
+    assert cfg.fluid.gravity == (0.0, 0.0, 0.0)
+    np.testing.assert_allclose(cfg.dem.gravity, (0.0, 0.0, 0.0))
+    # one particle at the documented IC
+    assert int(particles.n_active) == 1
+    np.testing.assert_allclose(np.asarray(particles.pos[0]),
+                               [2.0e-3, 1.9e-3, 2.5e-4])
+    np.testing.assert_allclose(float(particles.radius[0]), 8.3e-5 / 2)
+    np.testing.assert_allclose(float(particles.density[0]), 2000.0)
+    # BCs: inlet fixedValue Ub (0, 0.05, 0) at ym
+    assert cfg.bcs.Ub.ym.kind == bc.FIXED_VALUE
+    assert cfg.bcs.Ub.ym.value == (0.0, 0.05, 0.0)
+    assert cfg.bcs.Ub.yp.kind == bc.INLET_OUTLET
+    assert cfg.bcs.p.yp.kind == bc.FIXED_VALUE
+    assert cfg.bcs.Ub.zm.kind == bc.EMPTY
+    # initial fields
+    np.testing.assert_allclose(np.asarray(fluid.Ub[1]), 0.05)
+    np.testing.assert_allclose(np.asarray(fluid.alpha), 0.0)
+    # turbulence: xiaocase3 declares LES Smagorinsky
+    assert cfg.fluid.turbulence.model == "Smagorinsky"
+
+
+def test_load_xiaocase1():
+    cfg, fluid, particles, controls = load_case(os.path.join(REF, "xiaocase1"))
+    assert int(particles.n_active) == 2160
+    assert cfg.fluid.rhob == 1.2            # gas fluidized bed
+    assert cfg.cloud.sub_cycles == 2
+    # dtF=1e-4, dtL=1e-5 -> 10 substeps over 2 subcycles
+    assert cfg.cloud.sub_steps == 5
+    np.testing.assert_allclose(cfg.dem.gravity, (0.0, -9.8, 0.0))
+    assert cfg.fluid.gravity == (0.0, -9.8, 0.0)
+    assert cfg.dem.pair.kn == 4910.0
+    np.testing.assert_allclose(float(particles.radius[0]), 7.5e-4)
+
+
+def test_load_case_runs_a_step():
+    from sedifoam_tpu.solver import initialize, make_step_fn
+    import jax.numpy as jnp
+    cfg, fluid, particles, controls = load_case(os.path.join(REF, "xiaocase3"))
+    state = initialize(fluid, particles, cfg)
+    step = make_step_fn(cfg)
+    state = step(state)
+    assert bool(jnp.isfinite(state.fluid.p).all())
+    assert bool(jnp.isfinite(state.particles.vel).all())
