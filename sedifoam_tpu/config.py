@@ -87,6 +87,16 @@ class DEMConfig:
     carrier_rho: float = 0.0
     # cohesion (fix cohesive), None = off
     cohesion: Optional["CohesionParams"] = None
+    # ---- contact enumeration backend ----
+    # 'dense': all-pairs with (N,N,3) history — exact, best below ~10k
+    # 'binned': Verlet-skin neighbor tables — scales to large N
+    backend: str = "dense"
+    nbr_k: int = 48              # neighbor slots per particle
+    max_per_bin: int = 8         # candidate slots per bin
+    cutoff: float = 0.0          # bin pitch: >= max diameter + skin
+    skin: float = 0.0            # Verlet skin; rebuild at disp > skin/2
+    domain_lo: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    domain_hi: Tuple[float, float, float] = (1.0, 1.0, 1.0)
 
 
 @dataclasses.dataclass(frozen=True)

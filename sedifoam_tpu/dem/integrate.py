@@ -26,12 +26,41 @@ from sedifoam_tpu.dem.walls import wall_forces
 _INERTIA = 0.4  # solid sphere moment-of-inertia factor (LAMMPS nve/sphere)
 
 
+def maybe_rebuild_neighbors(state: ParticleState, cfg: DEMConfig,
+                            force: bool = False) -> ParticleState:
+    """Verlet-skin rebuild check (binned backend only)."""
+    if cfg.backend != "binned":
+        return state
+    from sedifoam_tpu.dem.neighbor import carry_over_shear, make_binner
+
+    rebuild_fn = make_binner(cfg.domain_lo, cfg.domain_hi, cfg.cutoff,
+                             cfg.nbr_k, cfg.max_per_bin)
+
+    def do_rebuild(st: ParticleState) -> ParticleState:
+        idx = rebuild_fn(st.pos, st.active)
+        shear = carry_over_shear(st.nbr_idx, idx, st.shear)
+        return st._replace(nbr_idx=idx, shear=shear, pos_at_build=st.pos)
+
+    if force:
+        return do_rebuild(state)
+
+    disp = state.pos - state.pos_at_build
+    max_d2 = jnp.max(jnp.sum(disp * disp, axis=-1) * state.active)
+    need = max_d2 > (0.5 * cfg.skin) ** 2
+    return jax.lax.cond(need, do_rebuild, lambda st: st, state)
+
+
 def compute_forces(state: ParticleState, cfg: DEMConfig,
                    step_time: float = 0.0, shearupdate: bool = True
                    ) -> ParticleState:
     """Total force/torque + contact history update, LAMMPS fix order."""
     dt = cfg.dt
-    f_pair, tq_pair, shear = pair_forces(state, cfg.pair, dt, shearupdate)
+    if cfg.backend == "binned":
+        from sedifoam_tpu.dem.neighbor import pair_forces_binned
+        f_pair, tq_pair, shear = pair_forces_binned(
+            state, cfg.pair, dt, state.nbr_idx, shearupdate)
+    else:
+        f_pair, tq_pair, shear = pair_forces(state, cfg.pair, dt, shearupdate)
     f_wall, tq_wall, wall_shear = wall_forces(
         state, cfg.walls, dt, step_time, shearupdate)
 
@@ -65,6 +94,7 @@ def compute_forces(state: ParticleState, cfg: DEMConfig,
 def setup_forces(state: ParticleState, cfg: DEMConfig,
                  step_time: float = 0.0) -> ParticleState:
     """LAMMPS setup(): compute initial forces without advancing shear."""
+    state = maybe_rebuild_neighbors(state, cfg, force=True)
     return compute_forces(state, cfg, step_time, shearupdate=False)
 
 
@@ -81,7 +111,8 @@ def _substep(state: ParticleState, cfg: DEMConfig, step_time):
     omega = state.omega + dtf * state.torque * iinv
     state = state._replace(pos=pos, vel=vel, omega=omega)
 
-    # forces at the new positions
+    # neighbor maintenance + forces at the new positions
+    state = maybe_rebuild_neighbors(state, cfg)
     state = compute_forces(state, cfg, step_time, shearupdate=True)
 
     # final_integrate

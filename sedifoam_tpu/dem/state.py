@@ -30,10 +30,14 @@ class ParticleState(NamedTuple):
     active: jnp.ndarray     # (N,) bool
     force: jnp.ndarray      # (N, 3) current total force (velocity-Verlet carry)
     torque: jnp.ndarray     # (N, 3)
-    # contact shear history: ordered-pair tensor, antisymmetric by
-    # construction (shear[i,j] accumulates vtr_ij*dt)
-    shear: jnp.ndarray      # (N, N, 3)
+    # contact shear history: dense backend (N, N, 3) ordered-pair tensor,
+    # antisymmetric by construction (shear[i,j] accumulates vtr_ij*dt);
+    # binned backend (N, K, 3) per neighbor slot
+    shear: jnp.ndarray
     wall_shear: jnp.ndarray  # (N, W, 3); W = number of wall fixes
+    # binned-backend neighbor table ((N, 0) dummies when dense)
+    nbr_idx: jnp.ndarray       # (N, K) int32; == N means empty slot
+    pos_at_build: jnp.ndarray  # (N, 3) positions at last rebuild
     # fix fdrag state (interfaceToLammps/fix_fluid_drag.cpp): constant
     # fluid force over a subcycle + per-substep added-mass bookkeeping
     fdrag: jnp.ndarray      # (N, 3)
@@ -66,6 +70,7 @@ class ParticleState(NamedTuple):
 
 def make_particles(pos, radius, density, vel=None, omega=None, ptype=None,
                    tag=None, capacity: Optional[int] = None, n_walls: int = 6,
+                   neighbor_k: Optional[int] = None,
                    dtype=jnp.float64) -> ParticleState:
     """Build a ParticleState from numpy/array inputs, padded to capacity."""
     pos = np.asarray(pos, dtype=np.float64).reshape(-1, 3)
@@ -106,8 +111,12 @@ def make_particles(pos, radius, density, vel=None, omega=None, ptype=None,
         active=jnp.asarray(active),
         force=jnp.zeros((capacity, 3), dtype),
         torque=jnp.zeros((capacity, 3), dtype),
-        shear=jnp.zeros((capacity, capacity, 3), dtype),
+        shear=(jnp.zeros((capacity, capacity, 3), dtype)
+               if neighbor_k is None
+               else jnp.zeros((capacity, neighbor_k, 3), dtype)),
         wall_shear=jnp.zeros((capacity, n_walls, 3), dtype),
+        nbr_idx=jnp.full((capacity, neighbor_k or 0), capacity, jnp.int32),
+        pos_at_build=pad2(pos),
         fdrag=jnp.zeros((capacity, 3), dtype),
         dudt=jnp.zeros((capacity, 3), dtype),
         v_old=pad2(vel),
