@@ -25,7 +25,8 @@ import numpy as np
 REFERENCE_PROXY_PSTEPS_PER_SEC = 5e6
 
 
-def build_case(n_particles=2048, nx=32, ny=64, nz=32, sub_steps=10):
+def build_case(n_particles=2048, nx=32, ny=64, nz=32, sub_steps=10,
+               backend="dense"):
     from sedifoam_tpu import bc
     from sedifoam_tpu.config import (CloudConfig, DEMConfig, FluidConfig,
                                      PISOConfig, PairParams, WallSpec)
@@ -66,19 +67,23 @@ def build_case(n_particles=2048, nx=32, ny=64, nz=32, sub_steps=10):
         WallSpec(style="yplane", lo=0.0, hi=L[1], params=pair),
         WallSpec(style="zplane", lo=0.0, hi=L[2], params=pair),
     )
+    r = 5e-4
     dem_cfg = DEMConfig(dt=dt / sub_steps, pair=pair, walls=walls,
-                        gravity=(0.0, -9.81, 0.0))
+                        gravity=(0.0, -9.81, 0.0),
+                        backend=backend, nbr_k=32, max_per_bin=10,
+                        cutoff=2 * r * 1.6, skin=0.6 * r,
+                        domain_lo=(0.0, 0.0, 0.0), domain_hi=L)
     cfg = SimConfig(grid=grid, bcs=bcs, fluid=fluid_cfg, cloud=cloud_cfg,
                     dem=dem_cfg)
 
     # random loose packing in the lower third of the bed
     rng = np.random.RandomState(42)
-    r = 5e-4
     pos = rng.uniform([2 * r, 2 * r, 2 * r],
                       [L[0] - 2 * r, L[1] / 3, L[2] - 2 * r],
                       size=(n_particles, 3))
     particles = make_particles(pos=pos, radius=r, density=2500.0,
                                capacity=n_particles, n_walls=len(walls),
+                               neighbor_k=32 if backend == "binned" else None,
                                dtype=jnp.float32)
     fluid = init_fluid(grid, Ub=jnp.zeros((3,) + grid.shape, jnp.float32
                                           ).at[1].set(vin),
@@ -89,14 +94,15 @@ def build_case(n_particles=2048, nx=32, ny=64, nz=32, sub_steps=10):
 
 def main():
     small = "--small" in sys.argv
-    n_particles = 256 if small else 2048
+    n_particles = 256 if small else 131072
     nx, ny, nz = (8, 16, 8) if small else (32, 64, 32)
     sub_steps = 10
+    backend = "dense" if small else "binned"
 
     from sedifoam_tpu.solver import make_step_fn
 
     cfg, state = build_case(n_particles=n_particles, nx=nx, ny=ny, nz=nz,
-                            sub_steps=sub_steps)
+                            sub_steps=sub_steps, backend=backend)
     step = make_step_fn(cfg)
 
     # warmup / compile

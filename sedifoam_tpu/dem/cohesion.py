@@ -26,8 +26,8 @@ def cohesion_forces(state: ParticleState, params: Optional[CohesionParams]):
 
     x, rad = state.pos, state.radius
     n = state.n_capacity
-    delta = x[:, None, :] - x[None, :, :]
-    rsq = jnp.sum(delta * delta, axis=-1)
+    delta = tuple(x[:, None, c] - x[None, :, c] for c in range(3))
+    rsq = delta[0] ** 2 + delta[1] ** 2 + delta[2] ** 2
     radsum = rad[:, None] + rad[None, :]
 
     valid = state.active[:, None] & state.active[None, :]
@@ -62,5 +62,5 @@ def cohesion_forces(state: ParticleState, params: Optional[CohesionParams]):
 
     ccel = jnp.where(within, ccel, 0.0)
     rinv = 1.0 / r
-    f_pair = delta * (ccel * rinv)[..., None]
-    return jnp.sum(f_pair, axis=1)
+    return jnp.stack([jnp.sum(delta[c] * ccel * rinv, axis=1)
+                      for c in range(3)], axis=-1)

@@ -7,6 +7,9 @@ evaluated on the (N, N) tile with its own shear-history row — regular
 dense math the VPU eats, with exact slot-free history semantics
 (shear[i,j] = -shear[j,i] holds by construction since vtr_ij = -vtr_ji).
 
+Vectors are component-tuples of (N, N) arrays and the stored shear is
+(3, N, N) — no trailing length-3 axis (TPU would pad it to 128 lanes).
+
 O(N^2) compute/memory: the right trade below ~10k particles (all the
 reference validation cases). dem/neighbor.py provides the binned backend
 for larger counts.
@@ -19,7 +22,7 @@ from typing import Tuple
 import jax.numpy as jnp
 
 from sedifoam_tpu.config import PAIR_NONE, PairParams
-from sedifoam_tpu.dem.forcelaws import contact_force
+from sedifoam_tpu.dem.forcelaws import contact_force, vcross
 from sedifoam_tpu.dem.state import ParticleState
 
 
@@ -28,7 +31,7 @@ def pair_forces(state: ParticleState, params: PairParams, dt: float,
                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Contact forces/torques for all active pairs.
 
-    Returns (force (N,3), torque (N,3), new_shear (N,N,3)).
+    Returns (force (N,3), torque (N,3), new_shear (3,N,N)).
     """
     n = state.n_capacity
     if params.style == PAIR_NONE:
@@ -41,8 +44,8 @@ def pair_forces(state: ParticleState, params: PairParams, dt: float,
     rad = state.radius
     m = state.mass
 
-    delta = x[:, None, :] - x[None, :, :]          # (N, N, 3) x_i - x_j
-    rsq = jnp.sum(delta * delta, axis=-1)
+    delta = tuple(x[:, None, c] - x[None, :, c] for c in range(3))
+    rsq = delta[0] ** 2 + delta[1] ** 2 + delta[2] ** 2
     radsum = rad[:, None] + rad[None, :]
 
     valid = state.active[:, None] & state.active[None, :]
@@ -54,36 +57,35 @@ def pair_forces(state: ParticleState, params: PairParams, dt: float,
     rinv = 1.0 / r
     rsqinv = 1.0 / rsq_safe
 
-    vr = v[:, None, :] - v[None, :, :]
-    vnnr = jnp.sum(vr * delta, axis=-1)
-    vn = delta * (vnnr * rsqinv)[..., None]
-    vt = vr - vn
+    vr = tuple(v[:, None, c] - v[None, :, c] for c in range(3))
+    vnnr = sum(vr[c] * delta[c] for c in range(3))
+    vn = tuple(delta[c] * vnnr * rsqinv for c in range(3))
+    vt = tuple(vr[c] - vn[c] for c in range(3))
     # relative rotational surface velocity
-    wr = (rad[:, None, None] * w[:, None, :] + rad[None, :, None] * w[None, :, :]
-          ) * rinv[..., None]
-    # vtr = vt - cross(wr, delta)/|..| per LAMMPS component formulas:
+    wr = tuple((rad[:, None] * w[:, None, c] + rad[None, :] * w[None, :, c])
+               * rinv for c in range(3))
+    # vtr = vt - cross(wr, delta)/.. per LAMMPS component formulas:
     # vtr1 = vt1 - (delz*wr2 - dely*wr3) etc.
-    vtr = vt - jnp.stack([
-        delta[..., 2] * wr[..., 1] - delta[..., 1] * wr[..., 2],
-        delta[..., 0] * wr[..., 2] - delta[..., 2] * wr[..., 0],
-        delta[..., 1] * wr[..., 0] - delta[..., 0] * wr[..., 1],
-    ], axis=-1)
+    vtr = (vt[0] - (delta[2] * wr[1] - delta[1] * wr[2]),
+           vt[1] - (delta[0] * wr[2] - delta[2] * wr[0]),
+           vt[2] - (delta[1] * wr[0] - delta[0] * wr[1]))
 
-    meff = m[:, None] * m[None, :] / jnp.maximum(m[:, None] + m[None, :], 1e-300)
+    meff = m[:, None] * m[None, :] / jnp.maximum(m[:, None] + m[None, :],
+                                                 1e-300)
     overlap = radsum - r
-    poly_arg = overlap * rad[:, None] * rad[None, :] / jnp.maximum(radsum, 1e-300)
+    poly_arg = overlap * rad[:, None] * rad[None, :] / \
+        jnp.maximum(radsum, 1e-300)
 
+    shear = (state.shear[0], state.shear[1], state.shear[2])
     force_pair, fs_vec, new_shear = contact_force(
         params, dt, touch, overlap, r, rinv, rsqinv, delta,
-        vnnr, vtr, state.shear, meff, poly_arg, shearupdate)
+        vnnr, vtr, shear, meff, poly_arg, shearupdate)
 
-    force = jnp.sum(force_pair, axis=1)
-    # torque_i -= rad_i * (delta x fs) / r  (summed over j)
-    tor = jnp.stack([
-        delta[..., 1] * fs_vec[..., 2] - delta[..., 2] * fs_vec[..., 1],
-        delta[..., 2] * fs_vec[..., 0] - delta[..., 0] * fs_vec[..., 2],
-        delta[..., 0] * fs_vec[..., 1] - delta[..., 1] * fs_vec[..., 0],
-    ], axis=-1) * rinv[..., None]
-    torque = -rad[:, None] * jnp.sum(tor, axis=1)
+    force = jnp.stack([jnp.sum(force_pair[c], axis=1) for c in range(3)],
+                      axis=-1)
+    # torque_i -= rad_i * cross(delta, fs)/r  (summed over j)
+    tor = vcross(delta, fs_vec)
+    torque = jnp.stack(
+        [-rad * jnp.sum(tor[c] * rinv, axis=1) for c in range(3)], axis=-1)
 
-    return force, torque, new_shear
+    return force, torque, jnp.stack(new_shear)

@@ -30,13 +30,14 @@ class ParticleState(NamedTuple):
     active: jnp.ndarray     # (N,) bool
     force: jnp.ndarray      # (N, 3) current total force (velocity-Verlet carry)
     torque: jnp.ndarray     # (N, 3)
-    # contact shear history: dense backend (N, N, 3) ordered-pair tensor,
-    # antisymmetric by construction (shear[i,j] accumulates vtr_ij*dt);
-    # binned backend (N, K, 3) per neighbor slot
+    # contact shear history, component-leading so nothing tiles a length-3
+    # axis onto 128 TPU lanes: dense backend (3, N, N) ordered-pair tensor
+    # (antisymmetric by construction: shear[:, i, j] accumulates vtr_ij*dt);
+    # binned backend (3, K, N) per neighbor slot
     shear: jnp.ndarray
-    wall_shear: jnp.ndarray  # (N, W, 3); W = number of wall fixes
-    # binned-backend neighbor table ((N, 0) dummies when dense)
-    nbr_idx: jnp.ndarray       # (N, K) int32; == N means empty slot
+    wall_shear: jnp.ndarray  # (3, W, N); W = number of wall fixes
+    # binned-backend neighbor table ((0, N) dummy when dense)
+    nbr_idx: jnp.ndarray       # (K, N) int32; == N means empty slot
     pos_at_build: jnp.ndarray  # (N, 3) positions at last rebuild
     # fix fdrag state (interfaceToLammps/fix_fluid_drag.cpp): constant
     # fluid force over a subcycle + per-substep added-mass bookkeeping
@@ -111,11 +112,11 @@ def make_particles(pos, radius, density, vel=None, omega=None, ptype=None,
         active=jnp.asarray(active),
         force=jnp.zeros((capacity, 3), dtype),
         torque=jnp.zeros((capacity, 3), dtype),
-        shear=(jnp.zeros((capacity, capacity, 3), dtype)
+        shear=(jnp.zeros((3, capacity, capacity), dtype)
                if neighbor_k is None
-               else jnp.zeros((capacity, neighbor_k, 3), dtype)),
-        wall_shear=jnp.zeros((capacity, n_walls, 3), dtype),
-        nbr_idx=jnp.full((capacity, neighbor_k or 0), capacity, jnp.int32),
+               else jnp.zeros((3, neighbor_k, capacity), dtype)),
+        wall_shear=jnp.zeros((3, n_walls, capacity), dtype),
+        nbr_idx=jnp.full((neighbor_k or 0, capacity), capacity, jnp.int32),
         pos_at_build=pad2(pos),
         fdrag=jnp.zeros((capacity, 3), dtype),
         dudt=jnp.zeros((capacity, 3), dtype),

@@ -35,12 +35,12 @@ def test_binner_finds_all_contacts():
     active = jnp.ones(128, bool)
     rebuild = make_binner(BOX[0], BOX[1], cutoff=2 * R * 1.6,
                           k_neighbors=32, max_per_bin=8)
-    idx = rebuild(jnp.asarray(pos), active)
+    idx = np.asarray(rebuild(jnp.asarray(pos), active))  # (K, N)
     # brute-force within-cutoff pairs must all appear in the table
     d = np.linalg.norm(pos[:, None] - pos[None, :], axis=-1)
     np.fill_diagonal(d, 1e9)
     for i, j in zip(*np.where(d < 2 * R)):
-        assert j in np.asarray(idx[i]), f"missing contact {i}-{j}"
+        assert j in idx[:, i], f"missing contact {i}-{j}"
 
 
 def test_binned_matches_dense_forces():
