@@ -1,0 +1,74 @@
+"""xiaocase1 golden validation: fluidized-pipe probe pressure drop.
+
+Reference: cases/auto-testing/test-cases/xiaocase1 — 2,160 1.5 mm glass
+particles in a 4 x 20 cm air column; the inlet ramps 0 -> 1.5 m/s over
+15 s and back. The validation metric is the pressure drop between probes
+at y=0.002 and y=0.16 (postprocessing.py:12-20) against data/p_bench.dat.
+
+Run:  python scripts/validate_xiaocase1.py [--t-end 2.0] [--f64] [--case DIR]
+Prints one JSON line with the comparison summary.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--t-end", type=float, default=2.0)
+    ap.add_argument("--f64", action="store_true")
+    ap.add_argument("--case", default="/root/reference/cases/auto-testing/"
+                    "test-cases/xiaocase1")
+    ap.add_argument("--out", default="")
+    args = ap.parse_args()
+
+    import jax
+    if args.f64:
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sedifoam_tpu.io.case import load_case
+    from sedifoam_tpu.runtime.runner import Simulation
+    from sedifoam_tpu.solver import initialize
+
+    dtype = jnp.float64 if args.f64 else jnp.float32
+    cfg, fluid, particles, controls = load_case(args.case, backend="binned",
+                                                dtype=dtype)
+    state = initialize(fluid, particles, cfg)
+
+    # probe locations from xiaocase1/system/controlDict functions block
+    probes = [(0.02, 0.002, 0.003), (0.02, 0.16, 0.003)]
+    sim = Simulation(cfg, state, probe_locations=probes,
+                     steps_per_host_visit=20)
+    sim.run(args.t_end, probe_every=1)
+
+    times, p = sim.probes.series("p")
+    dp = p[:, 0] - p[:, 1]
+
+    bench = np.loadtxt(os.path.join(args.case, "data", "p_bench.dat"))
+    mask = times >= bench[0, 0]
+    dp_bench = np.interp(times[mask], bench[:, 0], bench[:, 1])
+    dp_m = dp[mask]
+    err = (np.abs(dp_m - dp_bench).max() / max(np.abs(dp_bench).max(), 1e-9)
+           if mask.any() else float("nan"))
+
+    result = {
+        "t_end": args.t_end,
+        "n_samples": int(len(times)),
+        "dp_final": float(dp[-1]),
+        "dp_bench_final": float(dp_bench[-1]) if mask.any() else None,
+        "max_rel_err": float(err) if mask.any() else None,
+        "wall_time_s": round(sim.wall_time, 2),
+    }
+    print(json.dumps(result))
+    if args.out:
+        np.savez(args.out, times=times, dp=dp)
+
+
+if __name__ == "__main__":
+    main()

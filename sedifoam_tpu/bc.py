@@ -12,7 +12,7 @@ BC specs are frozen dataclasses with scalar tuples for values, so a full
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional, Tuple, Union
 
 FIXED_VALUE = "fixedValue"
 ZERO_GRADIENT = "zeroGradient"
@@ -26,15 +26,55 @@ PATCHES = ("xm", "xp", "ym", "yp", "zm", "zp")
 
 
 @dataclasses.dataclass(frozen=True)
+class TimeTable:
+    """Piecewise-linear time-varying uniform BC value (OpenFOAM
+    uniformFixedValue with a table, e.g. xiaocase1/0/Ub inlet ramp).
+
+    Static (hashable); evaluation with a traced time produces a traced
+    value, so table BCs are jit-safe with no recompiles.
+    """
+
+    times: Tuple[float, ...]
+    values: Tuple[Tuple[float, ...], ...]  # one tuple per time knot
+
+    def at(self, t, comp: int):
+        import jax.numpy as jnp
+        ts = jnp.asarray(self.times)
+        vs = jnp.asarray([v[comp] if len(v) > 1 else v[0]
+                          for v in self.values])
+        return jnp.interp(t, ts, vs)
+
+    @property
+    def n_comp(self) -> int:
+        return max(len(v) for v in self.values)
+
+    def map_values(self, fn) -> "TimeTable":
+        return TimeTable(self.times,
+                         tuple(tuple(fn(x) for x in v) for v in self.values))
+
+    def component(self, i: int) -> "TimeTable":
+        return TimeTable(self.times, tuple(
+            (v[i] if len(v) > 1 else v[0],) for v in self.values))
+
+
+@dataclasses.dataclass(frozen=True)
 class PatchBC:
     kind: str
-    # uniform value (1-tuple for scalars, 3-tuple for vectors); for
-    # inletOutlet this is the inletValue.
-    value: Tuple[float, ...] = (0.0,)
+    # uniform value (1-tuple for scalars, 3-tuple for vectors) or a
+    # TimeTable; for inletOutlet this is the inletValue.
+    value: Union[Tuple[float, ...], TimeTable] = (0.0,)
 
     def component(self, i: int) -> "PatchBC":
+        if isinstance(self.value, TimeTable):
+            return PatchBC(self.kind, self.value.component(i))
         v = self.value[i] if len(self.value) > 1 else self.value[0]
         return PatchBC(self.kind, (v,))
+
+    def value_at(self, t, comp: int = 0):
+        """Uniform value at time t (traced-safe); scalar fields comp=0."""
+        if isinstance(self.value, TimeTable):
+            return self.value.at(t, comp)
+        return self.value[comp] if len(self.value) > comp else self.value[0]
 
 
 @dataclasses.dataclass(frozen=True)

@@ -197,6 +197,19 @@ class CloudConfig:
     # particle deletion outside the domain (OpenFOAM wall-patch hits
     # delete particles: softParticle.C:177-184)
     delete_outside: bool = True
+    # --- particle injection/deletion regions (softParticleCloud.C:445-513,
+    # enhancedCloud.C:697-711) ---
+    add_particle: int = 0               # addParticle option
+    add_interval: float = 1e30          # addParticleTimeStep
+    add_box: Tuple[float, ...] = ()     # (x1,x2,y1,y2,z1,z2)
+    add_info: Tuple[float, float, int] = (1e-3, 1000.0, 1)  # d, rho, type
+    add_velocity: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    random_perturb: float = 0.0
+    reduce_number_factor: int = 1
+    delete_particle: int = 0            # deleteParticle option
+    delete_box: Tuple[float, ...] = ()
+    delete_before_add: int = 0
+    clear_box: Tuple[float, ...] = ()   # clearInitialBox
 
 
 @dataclasses.dataclass(frozen=True)
@@ -212,3 +225,12 @@ class FluidConfig:
     piso: PISOConfig = PISOConfig()
     forcing: ChannelForcing = ChannelForcing()
     turbulence: TurbulenceConfig = TurbulenceConfig()
+    # IBM relaxation zone (createIBMForce.H); relax time 0 -> 3*dt
+    add_ibm_force: bool = False
+    ibm_relax_time: float = 0.0
+    # DNS spectral forcing (calcDNSForce.H / UOprocess)
+    add_dns_force: bool = False
+    dns_alpha: float = 1.0
+    dns_sigma: float = 0.1
+    dns_k_upper: float = 1e9
+    dns_k_lower: float = 0.0

@@ -64,11 +64,26 @@ def evolve(fluid: FluidState, particles: ParticleState,
         uf_smoothed = uf
 
     # frozen during the subcycle loop (p, Ub unchanged inside evolve)
-    grad_p = ops.grad(fluid.p, grid, bcs.p)
-    curl_u = ops.curl(fluid.Ub, grid, bcs.Ub)
+    grad_p = ops.grad(fluid.p, grid, bcs.p, t=fluid.time)
+    curl_u = ops.curl(fluid.Ub, grid, bcs.Ub, t=fluid.time)
+
+    # static injection sites (findAddParticleCells analogue)
+    inject_on = ccfg.add_particle > 0 or ccfg.delete_particle > 0
+    if inject_on:
+        from sedifoam_tpu.dem import inject as _inject
+        sites = jnp.asarray(_inject.seed_positions(
+            grid, ccfg.add_box, ccfg.reduce_number_factor))
 
     alpha, Ua = fluid.alpha, fluid.Ua
     for k in range(ccfg.sub_cycles):
+        if inject_on:
+            particles_, tta, key = _inject.maybe_add_delete(
+                particles, particles.time_to_add, particles.rng_key,
+                sites, grid, ccfg, fcfg.dt)
+            particles = particles_._replace(time_to_add=tta, rng_key=key)
+            # new contacts need fresh neighbor tables / forces
+            particles = _dem.setup_forces(particles, dcfg)
+
         p_drag, p_dudt, particles = _forces.particle_forces(
             particles, uf_smoothed, uf_smoothed_old, grad_p, curl_u,
             fluid.DDtUb, grid, ccfg, fcfg, alpha, fluid.step)

@@ -50,6 +50,9 @@ class ParticleState(NamedTuple):
     # coupling bookkeeping: velocity at the start of the fluid step
     # (p.UOld() in enhancedCloud.C) used by added-mass/history forces
     vel_fluid_old: jnp.ndarray  # (N, 3)
+    # particle injection state (addAndDeleteParticle)
+    time_to_add: jnp.ndarray    # scalar countdown
+    rng_key: jnp.ndarray        # (2,) uint32 for position perturbation
 
     @property
     def n_capacity(self):
@@ -124,4 +127,6 @@ def make_particles(pos, radius, density, vel=None, omega=None, ptype=None,
         n0=pad1(np.zeros(n)),
         sum_delta_fb=jnp.zeros((capacity, 3), dtype),
         vel_fluid_old=pad2(vel),
+        time_to_add=jnp.asarray(1e30, dtype),
+        rng_key=jnp.zeros(2, jnp.uint32),
     )

@@ -60,11 +60,11 @@ def reconstruct(flux: FaceField, grid: Grid):
 
 
 def ddt_corr(U_old, phi_old: FaceField, grid: Grid, vbc: _bc.FieldBC,
-             dt: float) -> FaceField:
+             dt: float, t=0.0) -> FaceField:
     """fvc::ddtCorr(U, phi) for the Euler scheme (Rhie-Chow temporal
     correction): coeff * (phi_old - interp(U_old)&Sf) / dt with
     coeff = 1 - min(|diff| / (|phi_old| + SMALL), 1)."""
-    sf = ops.flux_of(U_old, grid, vbc, phi_old)
+    sf = ops.flux_of(U_old, grid, vbc, phi_old, t)
     out = []
     for a in range(3):
         diff = phi_old[a] - sf[a]
@@ -81,12 +81,12 @@ def _needs_reference(pbc: _bc.FieldBC) -> bool:
         for pn in _bc.PATCHES)
 
 
-def dev2_T_grad(U, beta_nu_eff, grid: Grid, vbc: _bc.FieldBC):
+def dev2_T_grad(U, beta_nu_eff, grid: Grid, vbc: _bc.FieldBC, t=0.0):
     """beta*nuEff*dev2(T(grad(U))): S[i][j] = bn*(dU_i/dx_j - 2/3 div(U) d_ij).
 
     Returned indexed [deriv_row i][component j] ready for Gauss div.
     """
-    g = ops.grad_vec(U, grid, vbc)  # g[j, i] = dU_j/dx_i
+    g = ops.grad_vec(U, grid, vbc, t=t)  # g[j, i] = dU_j/dx_i
     divU = g[0, 0] + g[1, 1] + g[2, 2]
     S = jnp.stack([
         jnp.stack([
@@ -130,14 +130,15 @@ def assemble_ub_eqn(fs: FluidState, grid: Grid, bcs: FluidBCs,
                     cfg: FluidConfig, nu_eff) -> UbEqn:
     """UEqns.H — the fluid-phase momentum matrix."""
     dt = cfg.dt
+    t = fs.time
     beta = fs.beta
     beta_old = 1.0 - fs.alpha_old
     alpha = fs.alpha
 
-    betaf = ops.face_interp(beta, grid, _invert_alpha_bc(bcs.alpha))
+    betaf = ops.face_interp(beta, grid, _invert_alpha_bc(bcs.alpha), t=t)
     beta_phib = FaceField(*(betaf[a] * fs.phib[a] for a in range(3)))
 
-    wV = ops.limited_weights_vec(fs.Ub, grid, bcs.Ub, beta_phib, k=1.0)
+    wV = ops.limited_weights_vec(fs.Ub, grid, bcs.Ub, beta_phib, k=1.0, t=t)
     ddt_beta = (beta - beta_old) / dt
     div_beta_phib = ops.div_flux(beta_phib, grid)
 
@@ -145,17 +146,17 @@ def assemble_ub_eqn(fs: FluidState, grid: Grid, bcs: FluidBCs,
     beta_nu_f = FaceField(*(betaf[a] * nu_eff_f[a] for a in range(3)))
 
     # explicit viscous pieces
-    S = dev2_T_grad(fs.Ub, beta * nu_eff, grid, bcs.Ub)
+    S = dev2_T_grad(fs.Ub, beta * nu_eff, grid, bcs.Ub, t)
     div_dev = div_tensor(S, grid)                       # fvc::div(...)
-    grad_beta = ops.grad(beta, grid, _invert_alpha_bc(bcs.alpha))
-    grad_Ub = ops.grad_vec(fs.Ub, grid, bcs.Ub)         # [j, i] = dUb_j/dx_i
+    grad_beta = ops.grad(beta, grid, _invert_alpha_bc(bcs.alpha), t=t)
+    grad_Ub = ops.grad_vec(fs.Ub, grid, bcs.Ub, t=t)    # [j, i] = dUb_j/dx_i
     cross_diff = jnp.stack([
         nu_eff * jnp.sum(grad_beta * grad_Ub[j], axis=0) for j in range(3)])
 
     # Cvm block shares the scheme but uses the phase flux phib
     use_cvm = cfg.Cvm != 0.0
     if use_cvm:
-        wV_phib = ops.limited_weights_vec(fs.Ub, grid, bcs.Ub, fs.phib, k=1.0)
+        wV_phib = ops.limited_weights_vec(fs.Ub, grid, bcs.Ub, fs.phib, k=1.0, t=t)
         div_phib = ops.div_flux(fs.phib, grid)
         cvm_scale = cfg.Cvm * alpha * beta
 
@@ -165,29 +166,37 @@ def assemble_ub_eqn(fs: FluidState, grid: Grid, bcs: FluidBCs,
     terms = []
     for j in range(3):
         cbc = bcs.Ub.component(j)
-        t = linop.ddt(fs.Ub_old[j], dt, grid, coeff=beta, coeff_old=beta_old)
-        t = t + linop.div(beta_phib, fs.Ub[j], grid, cbc, wV)
-        t = t - linop.Sp(ddt_beta + div_beta_phib, grid)
+        tm = linop.ddt(fs.Ub_old[j], dt, grid, coeff=beta, coeff_old=beta_old)
+        tm = tm + linop.div(beta_phib, fs.Ub[j], grid, cbc, wV, t=t)
+        tm = tm - linop.Sp(ddt_beta + div_beta_phib, grid)
         if use_cvm:
             blk = linop.ddt(fs.Ub_old[j], dt, grid)
-            blk = blk + linop.div(fs.phib, fs.Ub[j], grid, cbc, wV_phib)
+            blk = blk + linop.div(fs.phib, fs.Ub[j], grid, cbc, wV_phib, t=t)
             blk = blk - linop.Sp(div_phib, grid)
-            t = t + cvm_scale * blk
+            tm = tm + cvm_scale * blk
         # divDevReff(Ub) = -laplacian(beta*nuEff, Ub) - div(beta*nuEff*dev2(T(grad Ub)))
-        t = t - linop.laplacian(beta_nu_f, grid, cbc, phi=fs.phib)
-        t = t - linop.source(-div_dev[j], grid)   # explicit LHS piece
+        tm = tm - linop.laplacian(beta_nu_f, grid, cbc, phi=fs.phib, t=t)
+        tm = tm - linop.source(-div_dev[j], grid)   # explicit LHS piece
         # + nuEff*(grad(beta) & grad(Ub))  (explicit LHS)
-        t = t - linop.source(-cross_diff[j], grid)
+        tm = tm - linop.source(-cross_diff[j], grid)
         # RHS: - beta*Sp(dragCoef/rhob, Ub)  (implicit drag; Omega==0 in
         # the reference but kept — liftDragCoeffs.H:18)
-        t = t + beta * linop.Sp(fs.drag_coef / cfg.rhob, grid)
+        tm = tm + beta * linop.Sp(fs.drag_coef / cfg.rhob, grid)
         # RHS explicit: beta*alpha/rhob*(lift + Cvm*rhob*DDtUa) + channel gradP
         rhs_exp = (beta * alpha / cfg.rhob)[None] * (
             fs.lift_coeff + cfg.Cvm * cfg.rhob * fs.DDtUa)
-        t = t + linop.source(
+        tm = tm + linop.source(
             rhs_exp[j] + avg_beta * g_dir[j] * fs.grad_p_value, grid)
-        t = t.relax(fs.Ub[j], cfg.piso.momentum_relax)
-        terms.append(t)
+        if cfg.add_ibm_force:
+            # UEqns.H:38-41: implicit relaxation toward zero velocity
+            relax_t = cfg.ibm_relax_time if cfg.ibm_relax_time > 0 \
+                else 3.0 * dt
+            tm = tm + linop.Sp(fs.ibm_indicator / relax_t, grid)
+        if cfg.add_dns_force:
+            # UEqns.H RANDOM_TURB branch: + avg(beta)*turbulenceForce
+            tm = tm + linop.source(avg_beta * fs.turbulence_force[j], grid)
+        tm = tm.relax(fs.Ub[j], cfg.piso.momentum_relax)
+        terms.append(tm)
 
     return UbEqn(tuple(terms))
 
@@ -197,10 +206,12 @@ def _invert_alpha_bc(alpha_bc: _bc.FieldBC) -> _bc.FieldBC:
     patches = []
     for pn in _bc.PATCHES:
         p = alpha_bc.patch(pn)
-        if p.kind == _bc.FIXED_VALUE:
-            patches.append(_bc.PatchBC(_bc.FIXED_VALUE, (1.0 - p.value[0],)))
-        elif p.kind == _bc.INLET_OUTLET:
-            patches.append(_bc.PatchBC(_bc.INLET_OUTLET, (1.0 - p.value[0],)))
+        if p.kind in (_bc.FIXED_VALUE, _bc.INLET_OUTLET):
+            if isinstance(p.value, _bc.TimeTable):
+                v = p.value.map_values(lambda x: 1.0 - x)
+            else:
+                v = (1.0 - p.value[0],)
+            patches.append(_bc.PatchBC(p.kind, v))
         else:
             patches.append(p)
     return _bc.FieldBC(*patches)
@@ -215,12 +226,13 @@ def piso(fs: FluidState, eqn: UbEqn, grid: Grid, bcs: FluidBCs,
     g = jnp.asarray(cfg.gravity, beta.dtype)
     gflux = gravity_flux(grid, g, beta.dtype)
 
+    t = fs.time
     p = fs.p
     Ub = fs.Ub
     phia = fs.phia
     phib = fs.phib
 
-    alphaf = ops.face_interp(fs.alpha, grid, bcs.alpha)
+    alphaf = ops.face_interp(fs.alpha, grid, bcs.alpha, t=t)
     betaf = FaceField(*(1.0 - alphaf[a] for a in range(3)))
     rUbAf = _interp_zg(rUbA, grid)
     rUbA_rhob_f = _interp_zg(rUbA / cfg.rhob, grid)
@@ -231,7 +243,7 @@ def piso(fs: FluidState, eqn: UbEqn, grid: Grid, bcs: FluidBCs,
         rUbA_rhob_f[a] * asrc_flux[a] + rUbAf[a] * gflux[a] for a in range(3)))
     phi_dragb = _zero_on_zero_gradient_p(phi_dragb, bcs.p)
 
-    dcorr = ddt_corr(fs.Ub_old, fs.phib_old, grid, bcs.Ub, dt)
+    dcorr = ddt_corr(fs.Ub_old, fs.phib_old, grid, bcs.Ub, dt, t)
 
     need_ref = _needs_reference(bcs.p)
     ijk_ref = jnp.unravel_index(cfg.piso.p_ref_cell, grid.shape)
@@ -239,8 +251,8 @@ def piso(fs: FluidState, eqn: UbEqn, grid: Grid, bcs: FluidBCs,
     for _ in range(cfg.piso.n_correctors):
         Ub = rUbA[None] * eqn.H(Ub, grid) / beta[None]
 
-        phia = ops.flux_of(fs.Ua, grid, bcs.Ua, phia)
-        phib_star = ops.flux_of(Ub, grid, bcs.Ub, phib)
+        phia = ops.flux_of(fs.Ua, grid, bcs.Ua, phia, t)
+        phib_star = ops.flux_of(Ub, grid, bcs.Ub, phib, t)
         phib = FaceField(*(
             phib_star[a] + rUbAf[a] * dcorr[a] + phi_dragb[a]
             for a in range(3)))
@@ -250,7 +262,7 @@ def piso(fs: FluidState, eqn: UbEqn, grid: Grid, bcs: FluidBCs,
         Dp = FaceField(*(betaf[a] * rUbAf[a] / cfg.rhob for a in range(3)))
 
         for _ in range(cfg.piso.n_non_orth + 1):
-            p_term = linop.laplacian(Dp, grid, bcs.p)
+            p_term = linop.laplacian(Dp, grid, bcs.p, t=t)
             b = p_term.rhs + ops.div_flux(phi, grid) * grid.cell_volume
             diag = p_term.diag
             apply_fn = p_term.apply
@@ -269,7 +281,7 @@ def piso(fs: FluidState, eqn: UbEqn, grid: Grid, bcs: FluidBCs,
             p = sol.x
 
         # flux correction: SfGradp = pEqn.flux()/Dp = A_f * snGrad(p)
-        sgp = ops.sn_grad(p, grid, bcs.p)
+        sgp = ops.sn_grad(p, grid, bcs.p, t=t)
         area = grid.face_area
         sf_gradp = FaceField(*(sgp[a] * area[a] for a in range(3)))
         phib = FaceField(*(
@@ -308,12 +320,15 @@ def ddtu(fs: FluidState, grid: Grid, bcs: FluidBCs, cfg: FluidConfig
     """DDtU.H — DDtU = ddt(U) + div(phi, U) - div(phi)*U (per phase)."""
     dt = cfg.dt
 
+    t = fs.time
+
     def _one(U, U_old, phi, vbc):
-        w = ops.limited_weights_vec(U, grid, vbc, phi, k=1.0)
+        w = ops.limited_weights_vec(U, grid, vbc, phi, k=1.0, t=t)
         divphi = ops.div_flux(phi, grid)
         comps = []
         for j in range(3):
-            fv = ops.weighted_face_value(U[j], w, grid, vbc.component(j), phi)
+            fv = ops.weighted_face_value(U[j], w, grid, vbc.component(j),
+                                         phi, t)
             conv = ops.div_flux_field(phi, fv, grid)
             comps.append((U[j] - U_old[j]) / dt + conv - divphi * U[j])
         return jnp.stack(comps)

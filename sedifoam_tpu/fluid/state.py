@@ -49,6 +49,11 @@ class FluidState(NamedTuple):
     k: jnp.ndarray
     epsilon: jnp.ndarray
     nut: jnp.ndarray
+    # optional body-force state (zeros when unused)
+    ibm_indicator: jnp.ndarray    # IBM relaxation zone marker
+    turbulence_force: jnp.ndarray  # (3,...) DNS forcing field
+    dns_f_hat: jnp.ndarray        # (3,...) complex UO spectral state
+    dns_key: jnp.ndarray          # (2,) uint32
     time: jnp.ndarray       # scalar simulation time
     step: jnp.ndarray       # scalar int32 time index
 
@@ -84,6 +89,12 @@ def init_fluid(grid: Grid, alpha=None, Ub=None, p=None, dtype=jnp.float64
         Asrc=zv, drag_coef=z, lift_coeff=zv,
         grad_p_value=jnp.zeros((), dtype),
         k=z, epsilon=z, nut=z,
+        ibm_indicator=z,
+        turbulence_force=zv,
+        dns_f_hat=jnp.zeros((3,) + grid.shape,
+                            jnp.complex128 if dtype == jnp.float64
+                            else jnp.complex64),
+        dns_key=jnp.zeros(2, jnp.uint32),
         time=jnp.zeros((), dtype),
         step=jnp.zeros((), jnp.int32),
     )

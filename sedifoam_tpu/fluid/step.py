@@ -31,6 +31,15 @@ def fluid_step(fs: FluidState, grid: Grid, bcs: FluidBCs, cfg: FluidConfig,
 
     nu = _turb.nu_eff(fs, grid, cfg)
 
+    if cfg.add_dns_force:
+        from sedifoam_tpu.fluid import bodyforce as _bf
+        uo = _bf.UOForcingState(fs.dns_f_hat, fs.dns_key)
+        uo, force = _bf.uo_forcing_step(
+            uo, grid, cfg.dt, cfg.dns_alpha, cfg.dns_sigma,
+            cfg.dns_k_upper, cfg.dns_k_lower)
+        fs = fs._replace(dns_f_hat=uo.f_hat, dns_key=uo.key,
+                         turbulence_force=force)
+
     # alphaEqn.H: alpha is imposed from the particle averaging; only
     # beta = 1 - alpha is refreshed (derived property here).
 

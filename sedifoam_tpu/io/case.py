@@ -119,6 +119,26 @@ def read_block_mesh(path: str):
     return grid, patch_faces
 
 
+def _parse_uniform_value(entry, n_comp: int):
+    """uniformFixedValue uniformValue: constant or `table ((t (v)) ...)`."""
+    if isinstance(entry, list) and entry and entry[0] == "table":
+        knots = entry[1]
+        times, values = [], []
+        for knot in knots:
+            t = float(knot[0])
+            v = knot[1]
+            if isinstance(v, list):
+                values.append(tuple(float(x) for x in v))
+            else:
+                values.append((float(v),) * n_comp)
+            times.append(t)
+        return _bc.TimeTable(tuple(times), tuple(values))
+    val = foamdict.uniform_value(entry)
+    if isinstance(val, list):
+        return tuple(float(v) for v in val)
+    return (float(val),) * n_comp
+
+
 def _read_field_bc(field_file: str, patch_faces: Dict[str, List[int]],
                    n_comp: int) -> Tuple[_bc.FieldBC, object]:
     """0/<field> -> (FieldBC, uniform internal value)."""
@@ -131,6 +151,14 @@ def _read_field_bc(field_file: str, patch_faces: Dict[str, List[int]],
         if name not in patch_faces or not isinstance(spec, dict):
             continue
         kind_str = spec.get("type", "zeroGradient")
+        if kind_str == "uniformFixedValue":
+            # time-varying uniform value (e.g. the xiaocase1 inlet ramp)
+            pb = _bc.PatchBC(_bc.FIXED_VALUE,
+                             _parse_uniform_value(spec.get("uniformValue"),
+                                                  n_comp))
+            for fid in patch_faces[name]:
+                slots[fid] = pb
+            continue
         kind = _BC_TYPE_MAP.get(kind_str, _bc.ZERO_GRADIENT)
         if kind == _bc.FIXED_VALUE:
             val = foamdict.uniform_value(spec.get("value", 0.0))
@@ -150,9 +178,10 @@ def _read_field_bc(field_file: str, patch_faces: Dict[str, List[int]],
 
 
 def load_case(case_dir: str, capacity: Optional[int] = None,
+              backend: str = "dense", neighbor_k: int = 32,
               dtype=jnp.float64):
     """Load a reference case -> (SimConfig, FluidState, ParticleState,
-    CaseControls)."""
+    CaseControls). backend: DEM contact backend ('dense' | 'binned')."""
     sys_d = os.path.join(case_dir, "system")
     const_d = os.path.join(case_dir, "constant")
     zero_d = os.path.join(case_dir, "0")
@@ -225,6 +254,17 @@ def load_case(case_dir: str, capacity: Optional[int] = None,
     if not isinstance(inlet_force, list):
         inlet_force = [0.0, 0.0, 0.0]
 
+    def box6(key):
+        b = lod(cloud_d, key, [0.0] * 9)
+        if isinstance(b, list) and len(b) >= 6:
+            return tuple(float(x) for x in b[:6])
+        return ()
+
+    add_info = lod(cloud_d, "addParticleInfo", [1e-3, 1000.0, 1])
+    add_vel = lod(cloud_d, "addParticleVelocity", [0.0, 0.0, 0.0])
+    if not isinstance(add_vel, list):
+        add_vel = [0.0, 0.0, 0.0]
+
     cloud_cfg = CloudConfig(
         drag_model=str(lod(cloud_d, "dragModel", "SyamlalOBrien")),
         sub_cycles=sub_cycles,
@@ -244,6 +284,19 @@ def load_case(case_dir: str, capacity: Optional[int] = None,
         particle_history_force=bool(lod(cloud_d, "particleHistoryForce", False)),
         lubrication_force=bool(lod(cloud_d, "lubricationForce", False)),
         inlet_force=tuple(float(v) for v in inlet_force),
+        inlet_box=box6("inletBox"),
+        add_particle=int(lod(cloud_d, "addParticle", 0)),
+        add_interval=float(lod(cloud_d, "addParticleTimeStep", 1e30)),
+        add_box=box6("addParticleBox"),
+        add_info=tuple(add_info[:3]) if isinstance(add_info, list)
+        else (1e-3, 1000.0, 1),
+        add_velocity=tuple(float(v) for v in add_vel),
+        random_perturb=float(lod(cloud_d, "randomPerturb", 0.0)),
+        reduce_number_factor=int(lod(cloud_d, "reduceNumberFactor", 1)),
+        delete_particle=int(lod(cloud_d, "deleteParticle", 0)),
+        delete_box=box6("deleteParticleBox"),
+        delete_before_add=int(lod(cloud_d, "deleteBeforeAdd", 0)),
+        clear_box=box6("clearInitialBox"),
     )
 
     fluid_cfg = FluidConfig(
@@ -259,9 +312,16 @@ def load_case(case_dir: str, capacity: Optional[int] = None,
         turbulence=turb,
     )
 
+    d_max = float(np.max(lmp.diameter)) if lmp.diameter is not None else 1e-3
+    box = lmp.box if lmp.box else (grid.x0, grid.hi[0], grid.y0, grid.hi[1],
+                                   grid.z0, grid.hi[2])
     dem_cfg = DEMConfig(
         dt=dt_dem, pair=lmp.pair, walls=lmp.walls, gravity=lmp.gravity,
         carrier_rho=lmp.carrier_rho, cohesion=lmp.cohesion,
+        backend=backend, nbr_k=neighbor_k, max_per_bin=10,
+        cutoff=1.6 * d_max, skin=0.3 * d_max,
+        domain_lo=(box[0], box[2], box[4]),
+        domain_hi=(box[1], box[3], box[5]),
     )
 
     # boundary conditions + initial fields
@@ -307,6 +367,7 @@ def load_case(case_dir: str, capacity: Optional[int] = None,
     particles = make_particles(
         pos=lmp.pos, radius=lmp.diameter / 2.0, density=lmp.density,
         vel=vel, ptype=lmp.ptype, tag=lmp.tag,
-        capacity=capacity or n, n_walls=len(lmp.walls), dtype=dtype)
+        capacity=capacity or n, n_walls=len(lmp.walls),
+        neighbor_k=neighbor_k if backend == "binned" else None, dtype=dtype)
 
     return cfg, fluid, particles, controls

@@ -93,8 +93,12 @@ def zero_term(grid: Grid, dtype=jnp.float64) -> LinTerm:
 
 def _homogeneous(fbc: _bc.FieldBC) -> _bc.FieldBC:
     """Same BC kinds with zeroed values — the linear part of the operator."""
+    def n_comp(p):
+        v = fbc.patch(p).value
+        return v.n_comp if isinstance(v, _bc.TimeTable) else len(v)
+
     return _bc.FieldBC(*(
-        _bc.PatchBC(fbc.patch(p).kind, (0.0,) * len(fbc.patch(p).value))
+        _bc.PatchBC(fbc.patch(p).kind, (0.0,) * n_comp(p))
         for p in _bc.PATCHES
     ))
 
@@ -145,13 +149,13 @@ def source(src, grid: Grid) -> LinTerm:
 # ---------------------------------------------------------------------------
 
 
-def _bc_conv_coeffs(patch: _bc.PatchBC, lo: bool, phi_slab, dtype):
+def _bc_conv_coeffs(patch: _bc.PatchBC, lo: bool, phi_slab, dtype, t=0.0):
     """(internal_coeff, boundary_value) for a convected boundary face."""
     k = patch.kind
     zero = jnp.zeros_like(phi_slab)
     one = jnp.ones_like(phi_slab)
     if k == _bc.FIXED_VALUE:
-        return zero, jnp.full_like(phi_slab, patch.value[0])
+        return zero, zero + patch.value_at(t)
     if k in (_bc.ZERO_GRADIENT, _bc.SLIP):
         return one, zero
     if k == _bc.EMPTY:
@@ -159,7 +163,7 @@ def _bc_conv_coeffs(patch: _bc.PatchBC, lo: bool, phi_slab, dtype):
     if k == _bc.INLET_OUTLET:
         outflow = (phi_slab < 0) if lo else (phi_slab > 0)
         ic = jnp.where(outflow, 1.0, 0.0)
-        bv = jnp.where(outflow, 0.0, patch.value[0])
+        bv = jnp.where(outflow, 0.0, patch.value_at(t))
         return ic, bv
     if k == _bc.CYCLIC:
         # handled as an internal (wrapping) face in div(); marker only
@@ -168,7 +172,7 @@ def _bc_conv_coeffs(patch: _bc.PatchBC, lo: bool, phi_slab, dtype):
 
 
 def div(phi: FaceField, field, grid: Grid, fbc: _bc.FieldBC,
-        weights: Optional[FaceField] = None) -> LinTerm:
+        weights: Optional[FaceField] = None, t=0.0) -> LinTerm:
     """fvm::div(phi, c) with owner-side face weights (from ops.limited_weights
     or 0.5 for pure linear). Cyclic patches are wrap-around internal faces
     with central weighting.
@@ -192,8 +196,8 @@ def div(phi: FaceField, field, grid: Grid, fbc: _bc.FieldBC,
                 Fhi = pm[-1:] * wrapval
             else:
                 # linear part only: boundary-value contributions live in rhs
-                ic_lo, _ = _bc_conv_coeffs(lo_p, True, pm[:1], x.dtype)
-                ic_hi, _ = _bc_conv_coeffs(hi_p, False, pm[-1:], x.dtype)
+                ic_lo, _ = _bc_conv_coeffs(lo_p, True, pm[:1], x.dtype, t)
+                ic_hi, _ = _bc_conv_coeffs(hi_p, False, pm[-1:], x.dtype, t)
                 Flo = pm[:1] * ic_lo * xm[:1]
                 Fhi = pm[-1:] * ic_hi * xm[-1:]
             F = jnp.concatenate([Flo, Fint, Fhi], axis=0)
@@ -219,8 +223,8 @@ def div(phi: FaceField, field, grid: Grid, fbc: _bc.FieldBC,
             dm = dm.at[:1].add(-pm[:1] * 0.5)
             dm = dm.at[-1:].add(pm[-1:] * 0.5)
         else:
-            ic_lo, bv_lo = _bc_conv_coeffs(lo_p, True, pm[:1], diag.dtype)
-            ic_hi, bv_hi = _bc_conv_coeffs(hi_p, False, pm[-1:], diag.dtype)
+            ic_lo, bv_lo = _bc_conv_coeffs(lo_p, True, pm[:1], diag.dtype, t)
+            ic_hi, bv_hi = _bc_conv_coeffs(hi_p, False, pm[-1:], diag.dtype, t)
             dm = dm.at[:1].add(-pm[:1] * ic_lo)
             dm = dm.at[-1:].add(pm[-1:] * ic_hi)
             rm = rm.at[:1].add(pm[:1] * bv_lo)
@@ -238,7 +242,7 @@ def div(phi: FaceField, field, grid: Grid, fbc: _bc.FieldBC,
 
 def laplacian(gamma_face, grid: Grid, fbc: _bc.FieldBC,
               phi: Optional[FaceField] = None,
-              dtype=jnp.float64) -> LinTerm:
+              dtype=jnp.float64, t=0.0) -> LinTerm:
     """fvm::laplacian(gamma, c): LHS apply(x) = sum_f gamma_f A_f snGrad(x).
 
     gamma_face: FaceField or scalar diffusion coefficient.
@@ -280,7 +284,7 @@ def laplacian(gamma_face, grid: Grid, fbc: _bc.FieldBC,
             if patch.kind == _bc.FIXED_VALUE:
                 c = gslab * two_over_d
                 dm = dm.at[idx].add(-c)
-                rm = rm.at[idx].add(-c * patch.value[0])
+                rm = rm.at[idx].add(-c * patch.value_at(t))
             elif patch.kind == _bc.CYCLIC:
                 c = gslab * area[a] / spacing[a]
                 dm = dm.at[idx].add(-c)
@@ -291,7 +295,7 @@ def laplacian(gamma_face, grid: Grid, fbc: _bc.FieldBC,
                 outflow = (pslab < 0) if is_lo else (pslab > 0)
                 c = jnp.where(outflow, 0.0, gslab * two_over_d)
                 dm = dm.at[idx].add(-c)
-                rm = rm.at[idx].add(-c * patch.value[0])
+                rm = rm.at[idx].add(-c * patch.value_at(t))
             # zeroGradient/empty/slip: zero flux, nothing to add
         diag = diag + ops._mvback(dm, a)
         rhs = rhs + ops._mvback(rm, a)
@@ -302,9 +306,9 @@ def laplacian(gamma_face, grid: Grid, fbc: _bc.FieldBC,
 
 
 def laplacian_flux(gamma_face, x, grid: Grid, fbc: _bc.FieldBC,
-                   phi: Optional[FaceField] = None) -> FaceField:
+                   phi: Optional[FaceField] = None, t=0.0) -> FaceField:
     """fvMatrix::flux() of a laplacian matrix: gamma_f A_f snGrad(x) per face."""
-    g = ops.sn_grad(x, grid, fbc, phi)
+    g = ops.sn_grad(x, grid, fbc, phi, t)
     if not isinstance(gamma_face, FaceField):
         gamma_face = FaceField(gamma_face, gamma_face, gamma_face)
     area = grid.face_area

@@ -52,7 +52,7 @@ def _sign(x):
 
 
 def _boundary_face_value(cell_slab, patch: _bc.PatchBC, lo: bool,
-                         other_slab=None, phi_slab=None):
+                         other_slab=None, phi_slab=None, t=0.0):
     """Face value on a boundary patch given the adjacent cell slab.
 
     cell_slab: values of the cells adjacent to this patch, shape (1, ...).
@@ -61,7 +61,7 @@ def _boundary_face_value(cell_slab, patch: _bc.PatchBC, lo: bool,
     """
     k = patch.kind
     if k == _bc.FIXED_VALUE:
-        return jnp.full_like(cell_slab, patch.value[0])
+        return jnp.zeros_like(cell_slab) + patch.value_at(t)
     if k in (_bc.ZERO_GRADIENT, _bc.SLIP):
         return cell_slab
     if k == _bc.EMPTY:
@@ -74,17 +74,17 @@ def _boundary_face_value(cell_slab, patch: _bc.PatchBC, lo: bool,
             # zeroGradient branch, like OpenFOAM's stale boundary values
             return cell_slab
         outflow = (phi_slab < 0) if lo else (phi_slab > 0)
-        inlet = jnp.full_like(cell_slab, patch.value[0])
+        inlet = jnp.zeros_like(cell_slab) + patch.value_at(t)
         return jnp.where(outflow, cell_slab, inlet)
     raise ValueError(f"unknown BC kind {k}")
 
 
 def _boundary_sngrad(cell_slab, patch: _bc.PatchBC, lo: bool, d: float,
-                     other_slab=None, phi_slab=None):
+                     other_slab=None, phi_slab=None, t=0.0):
     """d(field)/d(axis) on a boundary face, along the +axis direction."""
     k = patch.kind
     if k == _bc.FIXED_VALUE:
-        v = jnp.full_like(cell_slab, patch.value[0])
+        v = jnp.zeros_like(cell_slab) + patch.value_at(t)
         # delta coeff at a boundary face is 1/(d/2), signed along +axis
         return (cell_slab - v) * (2.0 / d) if lo else (v - cell_slab) * (2.0 / d)
     if k in (_bc.ZERO_GRADIENT, _bc.EMPTY, _bc.SLIP):
@@ -96,14 +96,14 @@ def _boundary_sngrad(cell_slab, patch: _bc.PatchBC, lo: bool, d: float,
         if phi_slab is None:
             return jnp.zeros_like(cell_slab)
         outflow = (phi_slab < 0) if lo else (phi_slab > 0)
-        v = jnp.full_like(cell_slab, patch.value[0])
+        v = jnp.zeros_like(cell_slab) + patch.value_at(t)
         g_fix = (cell_slab - v) * (2.0 / d) if lo else (v - cell_slab) * (2.0 / d)
         return jnp.where(outflow, jnp.zeros_like(cell_slab), g_fix)
     raise ValueError(f"unknown BC kind {k}")
 
 
 def _axis_faces(c, axis: int, grid: Grid, fbc: _bc.FieldBC,
-                phi: Optional[FaceField], mode: str):
+                phi: Optional[FaceField], mode: str, t=0.0):
     """Face values ('interp') or face +axis-gradients ('sngrad') along axis."""
     d = grid.spacing[axis]
     cm = _mv(c, axis)
@@ -113,29 +113,29 @@ def _axis_faces(c, axis: int, grid: Grid, fbc: _bc.FieldBC,
     if mode == "interp":
         inner = 0.5 * (cm[:-1] + cm[1:])
         lo = _boundary_face_value(cm[:1], lo_patch, True, cm[-1:],
-                                  None if phi_ax is None else phi_ax[:1])
+                                  None if phi_ax is None else phi_ax[:1], t)
         hi = _boundary_face_value(cm[-1:], hi_patch, False, cm[:1],
-                                  None if phi_ax is None else phi_ax[-1:])
+                                  None if phi_ax is None else phi_ax[-1:], t)
     else:
         inner = (cm[1:] - cm[:-1]) / d
         lo = _boundary_sngrad(cm[:1], lo_patch, True, d, cm[-1:],
-                              None if phi_ax is None else phi_ax[:1])
+                              None if phi_ax is None else phi_ax[:1], t)
         hi = _boundary_sngrad(cm[-1:], hi_patch, False, d, cm[:1],
-                              None if phi_ax is None else phi_ax[-1:])
+                              None if phi_ax is None else phi_ax[-1:], t)
     return _mvback(jnp.concatenate([lo, inner, hi], axis=0), axis)
 
 
 def face_interp(c, grid: Grid, fbc: _bc.FieldBC,
-                phi: Optional[FaceField] = None) -> FaceField:
+                phi: Optional[FaceField] = None, t=0.0) -> FaceField:
     """Linear (central) interpolation of a scalar cell field to faces."""
-    return FaceField(*(_axis_faces(c, a, grid, fbc, phi, "interp")
+    return FaceField(*(_axis_faces(c, a, grid, fbc, phi, "interp", t)
                        for a in range(3)))
 
 
 def sn_grad(c, grid: Grid, fbc: _bc.FieldBC,
-            phi: Optional[FaceField] = None) -> FaceField:
+            phi: Optional[FaceField] = None, t=0.0) -> FaceField:
     """Face-normal gradient (along +axis) of a scalar cell field."""
-    return FaceField(*(_axis_faces(c, a, grid, fbc, phi, "sngrad")
+    return FaceField(*(_axis_faces(c, a, grid, fbc, phi, "sngrad", t)
                        for a in range(3)))
 
 
@@ -157,27 +157,29 @@ def div_flux_field(phi: FaceField, fv: FaceField, grid: Grid):
     return out / grid.cell_volume
 
 
-def grad(c, grid: Grid, fbc: _bc.FieldBC, phi: Optional[FaceField] = None):
+def grad(c, grid: Grid, fbc: _bc.FieldBC, phi: Optional[FaceField] = None,
+         t=0.0):
     """Gauss-linear cell gradient of a scalar -> (3, nx, ny, nz)."""
-    fv = face_interp(c, grid, fbc, phi)
+    fv = face_interp(c, grid, fbc, phi, t)
     area = grid.face_area
     comps = [_face_diff(fv[a], a) * (area[a] / grid.cell_volume)
              for a in range(3)]
     return jnp.stack(comps)
 
 
-def grad_vec(v, grid: Grid, vbc: _bc.FieldBC, phi: Optional[FaceField] = None):
+def grad_vec(v, grid: Grid, vbc: _bc.FieldBC, phi: Optional[FaceField] = None,
+             t=0.0):
     """Gradient of a vector field -> (3 comp, 3 deriv, nx, ny, nz).
 
     out[j, i] = d v_j / d x_i  (component leading to match vmap layout).
     """
-    return jnp.stack([grad(v[j], grid, vbc.component(j), phi)
+    return jnp.stack([grad(v[j], grid, vbc.component(j), phi, t)
                       for j in range(3)])
 
 
-def curl(v, grid: Grid, vbc: _bc.FieldBC):
+def curl(v, grid: Grid, vbc: _bc.FieldBC, t=0.0):
     """fvc::curl(U) -> (3, nx, ny, nz)."""
-    g = grad_vec(v, grid, vbc)  # g[j, i] = d v_j / d x_i
+    g = grad_vec(v, grid, vbc, t=t)  # g[j, i] = d v_j / d x_i
     return jnp.stack([
         g[2, 1] - g[1, 2],
         g[0, 2] - g[2, 0],
@@ -186,9 +188,9 @@ def curl(v, grid: Grid, vbc: _bc.FieldBC):
 
 
 def laplacian(gamma_face, c, grid: Grid, fbc: _bc.FieldBC,
-              phi: Optional[FaceField] = None):
+              phi: Optional[FaceField] = None, t=0.0):
     """Explicit fvc::laplacian(gamma, c); gamma_face is a FaceField or scalar."""
-    g = sn_grad(c, grid, fbc, phi)
+    g = sn_grad(c, grid, fbc, phi, t)
     if not isinstance(gamma_face, FaceField):
         gamma_face = FaceField(gamma_face, gamma_face, gamma_face)
     area = grid.face_area
@@ -197,11 +199,12 @@ def laplacian(gamma_face, c, grid: Grid, fbc: _bc.FieldBC,
 
 
 def flux_of(v, grid: Grid, vbc: _bc.FieldBC,
-            phi: Optional[FaceField] = None) -> FaceField:
+            phi: Optional[FaceField] = None, t=0.0) -> FaceField:
     """(interp(U) & Sf): volumetric flux of a vector field -> FaceField."""
     area = grid.face_area
     return FaceField(*(
-        _axis_faces(v[a], a, grid, vbc.component(a), phi, "interp") * area[a]
+        _axis_faces(v[a], a, grid, vbc.component(a), phi, "interp", t)
+        * area[a]
         for a in range(3)
     ))
 
@@ -269,9 +272,9 @@ def _limited_weights_axis(c, gradc, axis, grid, fbc, phi, k):
 
 
 def limited_weights(c, grid: Grid, fbc: _bc.FieldBC, phi: FaceField,
-                    k: float = 1.0) -> FaceField:
+                    k: float = 1.0, t=0.0) -> FaceField:
     """limitedLinear-k owner weights for fvm::div(phi, c) (scalar field)."""
-    gradc = grad(c, grid, fbc, phi)
+    gradc = grad(c, grid, fbc, phi, t)
     return FaceField(*(_limited_weights_axis(c, gradc, a, grid, fbc, phi, k)
                        for a in range(3)))
 
@@ -302,17 +305,17 @@ def _limited_weights_axis_vec(v, gradv, axis, grid, phi, k):
 
 
 def limited_weights_vec(v, grid: Grid, vbc: _bc.FieldBC, phi: FaceField,
-                        k: float = 1.0) -> FaceField:
+                        k: float = 1.0, t=0.0) -> FaceField:
     """limitedLinearV-k owner weights for fvm::div(phi, U) (vector field)."""
-    gradv = grad_vec(v, grid, vbc, phi)
+    gradv = grad_vec(v, grid, vbc, phi, t)
     return FaceField(*(_limited_weights_axis_vec(v, gradv, a, grid, phi, k)
                        for a in range(3)))
 
 
 def weighted_face_value(c, w: FaceField, grid: Grid, fbc: _bc.FieldBC,
-                        phi: Optional[FaceField] = None) -> FaceField:
+                        phi: Optional[FaceField] = None, t=0.0) -> FaceField:
     """Face values using owner weights w on internal faces, BCs on boundary."""
-    lin = face_interp(c, grid, fbc, phi)  # supplies boundary values
+    lin = face_interp(c, grid, fbc, phi, t)  # supplies boundary values
 
     def _axis(a):
         cm = _mv(c, a)

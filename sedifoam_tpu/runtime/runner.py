@@ -1,0 +1,109 @@
+"""Simulation runner: the time loop around the jitted coupled step.
+
+The lammpsFoam main-loop services (lammpsFoam.C:74-129): stepping to
+endTime, probe sampling, periodic field/checkpoint writes, per-phase
+timing splits (writeCPUTime.H analogue), and diagnostics logging.
+Steps are batched through lax.scan between host visits so the device
+never waits on Python.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Callable, Optional, Sequence
+
+import jax
+import numpy as np
+
+from sedifoam_tpu.runtime import checkpoint as _ckpt
+from sedifoam_tpu.runtime import diagnostics as _diag
+from sedifoam_tpu.runtime.probes import Probes
+from sedifoam_tpu.solver import SimConfig, SimState, initialize, make_step_fn
+
+
+class Simulation:
+    def __init__(self, cfg: SimConfig, state: SimState,
+                 probe_locations: Optional[Sequence] = None,
+                 steps_per_host_visit: int = 1):
+        self.cfg = cfg
+        self.state = state
+        self.step_fn = make_step_fn(cfg, n_sub=steps_per_host_visit)
+        self.steps_per_visit = steps_per_host_visit
+        self.probes = (Probes(cfg.grid, probe_locations)
+                       if probe_locations else None)
+        self.diag_fn = jax.jit(
+            lambda s: _diag.compute(s, cfg.grid, cfg.fluid))
+        self.wall_time = 0.0
+        self.log = []
+
+    @classmethod
+    def from_case(cls, case_dir: str, **kw):
+        from sedifoam_tpu.io.case import load_case
+        cfg, fluid, particles, controls = load_case(case_dir)
+        state = initialize(fluid, particles, cfg)
+        probes = kw.pop("probe_locations", None)
+        sim = cls(cfg, state, probe_locations=probes, **kw)
+        sim.controls = controls
+        return sim
+
+    @property
+    def t(self) -> float:
+        return float(self.state.fluid.time)
+
+    def run(self, t_end: float,
+            probe_every: int = 1,
+            log_every: int = 0,
+            write_dir: Optional[str] = None,
+            write_interval: Optional[float] = None,
+            on_sample: Optional[Callable] = None) -> SimState:
+        dt_visit = self.cfg.fluid.dt * self.steps_per_visit
+        next_write = (self.t + write_interval) if write_interval else None
+        visit = 0
+        t0 = time.perf_counter()
+        while self.t < t_end - 1e-12:
+            self.state = self.step_fn(self.state)
+            visit += 1
+            if self.probes is not None and visit % probe_every == 0:
+                fs = self.state.fluid
+                self.probes.sample(self.t, p=fs.p, Ub=fs.Ub,
+                                   alpha=fs.alpha, Ua=fs.Ua)
+            if on_sample is not None:
+                on_sample(self)
+            if log_every and visit % log_every == 0:
+                d = {k: float(v) for k, v in self.diag_fn(self.state).items()}
+                d["t"] = self.t
+                self.log.append(d)
+            if write_dir and next_write is not None and \
+                    self.t >= next_write - 1e-12:
+                self.write(write_dir)
+                next_write += write_interval
+        jax.block_until_ready(self.state)
+        self.wall_time += time.perf_counter() - t0
+        return self.state
+
+    def write(self, out_dir: str) -> str:
+        """Write a time directory: fields + full checkpoint."""
+        tdir = os.path.join(out_dir, f"{self.t:.6g}")
+        os.makedirs(tdir, exist_ok=True)
+        fs, ps = self.state.fluid, self.state.particles
+        np.savez_compressed(
+            os.path.join(tdir, "fields.npz"),
+            alpha=np.asarray(fs.alpha), p=np.asarray(fs.p),
+            Ub=np.asarray(fs.Ub), Ua=np.asarray(fs.Ua),
+            Asrc=np.asarray(fs.Asrc))
+        np.savez_compressed(
+            os.path.join(tdir, "particles.npz"),
+            pos=np.asarray(ps.pos), vel=np.asarray(ps.vel),
+            omega=np.asarray(ps.omega), radius=np.asarray(ps.radius),
+            tag=np.asarray(ps.tag), active=np.asarray(ps.active))
+        _ckpt.save(os.path.join(tdir, "checkpoint.npz"), self.state)
+        if self.log:
+            with open(os.path.join(tdir, "diagnostics.jsonl"), "w") as f:
+                for d in self.log:
+                    f.write(json.dumps(d) + "\n")
+        return tdir
+
+    def resume(self, checkpoint_path: str) -> None:
+        self.state = _ckpt.load(checkpoint_path, self.state)

@@ -55,6 +55,10 @@ def initialize(fluid: FluidState, particles: ParticleState,
     grid, bcs = cfg.grid, cfg.bcs
     smooth = _cloud._smooth_fn(grid, cfg.cloud)
 
+    particles = particles._replace(
+        time_to_add=jnp.asarray(cfg.cloud.add_interval,
+                                particles.pos.dtype),
+        rng_key=jax.random.PRNGKey(0))
     particles = _dem.setup_forces(particles, cfg.dem)
 
     alpha, Ua = _transfer.particle_to_eulerian(

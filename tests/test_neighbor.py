@@ -72,3 +72,42 @@ def test_binned_matches_dense_trajectory():
                                rtol=0, atol=1e-8)
     np.testing.assert_allclose(np.asarray(st_b.vel), np.asarray(st_d.vel),
                                rtol=0, atol=1e-6)
+
+
+def test_add_delete_particles():
+    """Particle injection/deletion regions (softParticleCloud add/delete)."""
+    import jax
+    from sedifoam_tpu.dem import inject
+    from sedifoam_tpu.config import CloudConfig
+    from sedifoam_tpu.grid import Grid
+
+    grid = Grid(nx=8, ny=8, nz=1, dx=1e-3, dy=1e-3, dz=1e-3)
+    ccfg = CloudConfig(
+        add_particle=1, add_interval=0.1,
+        add_box=(0.0, 8e-3, 6e-3, 8e-3, 0.0, 1e-3),
+        add_info=(4e-4, 2000.0, 1), add_velocity=(0.0, -0.1, 0.0),
+        random_perturb=1e-4, reduce_number_factor=1,
+        delete_particle=1, delete_box=(0.0, 8e-3, 0.0, 1e-3, 0.0, 1e-3))
+    sites = jnp.asarray(inject.seed_positions(grid, ccfg.add_box, 1))
+    assert sites.shape[0] == 16  # 8x2 cells in the top band
+
+    st = make_particles([[4e-3, 4e-3, 5e-4]], 2e-4, 2000.0,
+                        capacity=64, n_walls=0)
+    st = st._replace(time_to_add=jnp.asarray(0.0),
+                     rng_key=jax.random.PRNGKey(1))
+
+    st2, tta, key = inject.maybe_add_delete(
+        st, st.time_to_add, st.rng_key, sites, grid, ccfg, dt_fluid=1e-3)
+    assert int(st2.active.sum()) == 17      # 1 + 16 injected
+    assert float(tta) == 0.1                # countdown reset
+    assert int(st2.tag.max()) == 17         # tags continue from max
+    # injected velocity applied
+    inj = np.asarray(st2.active) & (np.asarray(st2.tag) > 1)
+    np.testing.assert_allclose(np.asarray(st2.vel)[inj, 1], -0.1)
+
+    # move a particle into the delete box -> removed on next call
+    st3 = st2._replace(pos=st2.pos.at[0, 1].set(5e-4))
+    st4, _, _ = inject.maybe_add_delete(
+        st3, tta, key, sites, grid, ccfg, dt_fluid=1e-3)
+    assert not bool(st4.active[0])
+    assert int(st4.active.sum()) == 16
