@@ -248,6 +248,10 @@ def piso(fs: FluidState, eqn: UbEqn, grid: Grid, bcs: FluidBCs,
     need_ref = _needs_reference(bcs.p)
     ijk_ref = jnp.unravel_index(cfg.piso.p_ref_cell, grid.shape)
 
+    from sedifoam_tpu.fluid.pprecond import make_preconditioner
+    precond_raw = make_preconditioner(grid, bcs.p, need_ref,
+                                      cfg.piso.p_ref_cell, p.dtype)
+
     for _ in range(cfg.piso.n_correctors):
         Ub = rUbA[None] * eqn.H(Ub, grid) / beta[None]
 
@@ -274,10 +278,15 @@ def piso(fs: FluidState, eqn: UbEqn, grid: Grid, bcs: FluidBCs,
                     ab(x) + rm * dr * x)
                 diag = diag + ref_mask * dref
                 b = b + ref_mask * dref * cfg.piso.p_ref_value
+            precond = None
+            if precond_raw is not None:
+                dp_scale = sum(jnp.mean(Dp[a]) for a in range(3)) / 3.0
+                precond = lambda r, pr=precond_raw, s=dp_scale: pr(r, s)
             sol = linsolve.pcg(apply_fn, b, p, diag,
                                tol=cfg.piso.p_tol,
                                rel_tol=cfg.piso.p_rel_tol,
-                               max_iter=cfg.piso.p_max_iter)
+                               max_iter=cfg.piso.p_max_iter,
+                               precond=precond)
             p = sol.x
 
         # flux correction: SfGradp = pEqn.flux()/Dp = A_f * snGrad(p)

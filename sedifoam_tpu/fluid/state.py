@@ -52,7 +52,7 @@ class FluidState(NamedTuple):
     # optional body-force state (zeros when unused)
     ibm_indicator: jnp.ndarray    # IBM relaxation zone marker
     turbulence_force: jnp.ndarray  # (3,...) DNS forcing field
-    dns_f_hat: jnp.ndarray        # (3,...) complex UO spectral state
+    dns_f_hat: jnp.ndarray        # (2,3,...) UO spectral state (re, im)
     dns_key: jnp.ndarray          # (2,) uint32
     time: jnp.ndarray       # scalar simulation time
     step: jnp.ndarray       # scalar int32 time index
@@ -91,9 +91,7 @@ def init_fluid(grid: Grid, alpha=None, Ub=None, p=None, dtype=jnp.float64
         k=z, epsilon=z, nut=z,
         ibm_indicator=z,
         turbulence_force=zv,
-        dns_f_hat=jnp.zeros((3,) + grid.shape,
-                            jnp.complex128 if dtype == jnp.float64
-                            else jnp.complex64),
+        dns_f_hat=jnp.zeros((2, 3) + grid.shape, dtype),
         dns_key=jnp.zeros(2, jnp.uint32),
         time=jnp.zeros((), dtype),
         step=jnp.zeros((), jnp.int32),

@@ -38,6 +38,11 @@ def norm_factor(apply_fn: Callable, x, b):
     return jnp.sum(jnp.abs(Ax - Aref) + jnp.abs(b - Aref)) + _SMALL
 
 
+def _dtype_tol_floor(dtype) -> float:
+    """Smallest meaningful normalized residual for a dtype (~50 eps)."""
+    return float(50 * jnp.finfo(dtype).eps)
+
+
 def _safe_ratio(num, den):
     """num/den with a hard guard against denormal/zero denominators that
     would otherwise blow up at round-off stagnation (0*inf -> NaN)."""
@@ -46,7 +51,8 @@ def _safe_ratio(num, den):
 
 
 def pcg(apply_fn: Callable, b, x0, diag, tol: float = 1e-10,
-        rel_tol: float = 0.0, max_iter: int = 1000) -> SolveResult:
+        rel_tol: float = 0.0, max_iter: int = 1000,
+        precond: Callable = None) -> SolveResult:
     """Preconditioned conjugate gradient with Jacobi preconditioner.
 
     apply_fn must be LINEAR and symmetric (positive or negative) definite
@@ -56,8 +62,14 @@ def pcg(apply_fn: Callable, b, x0, diag, tol: float = 1e-10,
     RHS is nearly zero (the true residual hits the round-off floor first);
     a stagnation detector stops the loop once the residual stops improving,
     which both matches the achievable answer and avoids burning max_iter.
+    The tolerance is also floored at the dtype's round-off scale (the
+    f32 fast path would otherwise stall-loop on every f64-era tolerance
+    like the cases' 1e-10).
     """
+    tol = max(tol, _dtype_tol_floor(x0.dtype))
     inv_diag = 1.0 / jnp.where(diag == 0.0, 1.0, diag)
+    if precond is None:
+        precond = lambda r: inv_diag * r  # noqa: E731 (Jacobi default)
 
     nf = norm_factor(apply_fn, x0, b)
     r0 = b - apply_fn(x0)
@@ -70,7 +82,7 @@ def pcg(apply_fn: Callable, b, x0, diag, tol: float = 1e-10,
 
     def body(state):
         x, r, p, rz_old, it, _, best, stall = state
-        z = inv_diag * r
+        z = precond(r)
         rz = jnp.sum(r * z)
         beta = jnp.where(it == 0, 0.0, _safe_ratio(rz, rz_old))
         p = z + beta * p
@@ -91,10 +103,64 @@ def pcg(apply_fn: Callable, b, x0, diag, tol: float = 1e-10,
     return SolveResult(x, res0, res, it)
 
 
+def pcg_multi(apply_fn: Callable, b, x0, diag, tol: float = 1e-10,
+              rel_tol: float = 0.0, max_iter: int = 1000) -> SolveResult:
+    """PCG for a batch of systems sharing one SPD operator.
+
+    b, x0: (B, ...) with the batch axis leading; apply_fn acts on a single
+    (...)-shaped field (it is vmapped here). One while_loop drives all B
+    systems with per-system step sizes — B times fewer sequential solves
+    (used for the 3-component diffusion-smoothing solves).
+    """
+    tol = max(tol, _dtype_tol_floor(x0.dtype))
+    inv_diag = 1.0 / jnp.where(diag == 0.0, 1.0, diag)
+    vapply = jax.vmap(apply_fn)
+    axes = tuple(range(1, x0.ndim))
+
+    def dot(a, c):
+        return jnp.sum(a * c, axis=axes)
+
+    nf = jnp.stack([norm_factor(apply_fn, x0[i], b[i])
+                    for i in range(x0.shape[0])])
+    r0 = b - vapply(x0)
+    res0 = jnp.sum(jnp.abs(r0), axis=axes) / nf
+
+    def cond(state):
+        x, r, p, rz, it, res, best, stall = state
+        not_conv = jnp.any((res > tol) & (res > rel_tol * res0))
+        return not_conv & (it < max_iter) & (stall < 10) & \
+            jnp.all(jnp.isfinite(res))
+
+    def body(state):
+        x, r, p, rz_old, it, _, best, stall = state
+        z = inv_diag[None] * r
+        rz = dot(r, z)
+        beta = jnp.where(it == 0, 0.0, _safe_ratio(rz, rz_old))
+        p = z + beta.reshape((-1,) + (1,) * (x0.ndim - 1)) * p
+        Ap = vapply(p)
+        alpha = _safe_ratio(rz, dot(p, Ap))
+        al = alpha.reshape((-1,) + (1,) * (x0.ndim - 1))
+        x = x + al * p
+        r = r - al * Ap
+        res = jnp.sum(jnp.abs(r), axis=axes) / nf
+        worst = jnp.max(res)
+        improved = worst < 0.999 * best
+        stall = jnp.where(improved, 0, stall + 1)
+        best = jnp.minimum(best, worst)
+        return (x, r, p, rz, it + 1, res, best, stall)
+
+    init = (x0, r0, jnp.zeros_like(x0), jnp.ones_like(res0),
+            jnp.array(0, jnp.int32), res0, jnp.max(res0),
+            jnp.array(0, jnp.int32))
+    x, r, p, rz, it, res, best, stall = jax.lax.while_loop(cond, body, init)
+    return SolveResult(x, res0, res, it)
+
+
 def bicgstab(apply_fn: Callable, b, x0, diag, tol: float = 1e-10,
              rel_tol: float = 0.0, max_iter: int = 1000) -> SolveResult:
     """Jacobi-preconditioned BiCGStab for nonsymmetric operators
     (convection-diffusion: the k/epsilon transport equations)."""
+    tol = max(tol, _dtype_tol_floor(x0.dtype))
     inv_diag = 1.0 / jnp.where(diag == 0.0, 1.0, diag)
 
     def prec_apply(v):

@@ -17,9 +17,18 @@ class Probes:
 
     def __init__(self, grid: Grid, locations: Sequence[Tuple[float, ...]]):
         self.grid = grid
-        pts = jnp.asarray(np.asarray(locations, np.float64))
-        ijk = grid.locate(pts)
-        self.cells = grid.flat_index(ijk)
+        pts = np.asarray(locations, np.float64)
+        import jax
+
+        ijk = np.clip(((pts - np.array([grid.x0, grid.y0, grid.z0]))
+                       / np.array(grid.spacing)).astype(int),
+                      0, np.array([grid.nx - 1, grid.ny - 1, grid.nz - 1]))
+        cells = (ijk[:, 0] * grid.ny + ijk[:, 1]) * grid.nz + ijk[:, 2]
+        self.cells = jnp.asarray(cells)
+        # jitted extraction: eager gathers are pathologically slow on
+        # remote-compile backends (every op is a compile round trip)
+        self._extract = jax.jit(
+            lambda f: f.reshape(f.shape[:-3] + (-1,))[..., self.cells])
         self.times = []
         self.samples = {}
 
@@ -27,8 +36,7 @@ class Probes:
         """fields: name -> (nx,ny,nz) or (3,nx,ny,nz) arrays."""
         self.times.append(float(t))
         for name, f in fields.items():
-            vals = np.asarray(
-                f.reshape(f.shape[:-3] + (-1,))[..., self.cells])
+            vals = np.asarray(self._extract(f))
             self.samples.setdefault(name, []).append(vals)
 
     def series(self, name: str):

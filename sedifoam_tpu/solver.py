@@ -51,7 +51,13 @@ class SimState(NamedTuple):
 
 def initialize(fluid: FluidState, particles: ParticleState,
                cfg: SimConfig) -> SimState:
-    """enhancedCloud ctor + pre-loop liftDragCoeffs."""
+    """enhancedCloud ctor + pre-loop liftDragCoeffs (jitted: some backends
+    only support the full op set through XLA compilation)."""
+    return jax.jit(lambda f, p: _initialize_impl(f, p, cfg))(fluid, particles)
+
+
+def _initialize_impl(fluid: FluidState, particles: ParticleState,
+                     cfg: SimConfig) -> SimState:
     grid, bcs = cfg.grid, cfg.bcs
     smooth = _cloud._smooth_fn(grid, cfg.cloud)
 
