@@ -87,6 +87,8 @@ class DEMConfig:
     carrier_rho: float = 0.0
     # cohesion (fix cohesive), None = off
     cohesion: Optional["CohesionParams"] = None
+    # pair lubricate/poly (dem/lubrication.py LubricationParams), None = off
+    lubrication: Optional[object] = None
     # ---- contact enumeration backend ----
     # 'dense': all-pairs with (N,N,3) history — exact, best below ~10k
     # 'binned': Verlet-skin neighbor tables — scales to large N

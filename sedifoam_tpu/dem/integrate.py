@@ -81,6 +81,12 @@ def compute_forces(state: ParticleState, cfg: DEMConfig,
     force = f_pair + f_wall + f_grav + f_drag + f_cohe
     torque = tq_pair + tq_wall
 
+    if cfg.lubrication is not None:
+        from sedifoam_tpu.dem.lubrication import lubrication_forces
+        f_lub, tq_lub = lubrication_forces(state, cfg.lubrication)
+        force = force + f_lub
+        torque = torque + tq_lub
+
     amask = state.active[:, None]
     return state._replace(
         force=jnp.where(amask, force, 0.0),

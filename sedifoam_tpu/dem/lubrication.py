@@ -1,0 +1,156 @@
+"""Hydrodynamic lubrication for polydisperse spheres (pair lubricate/poly).
+
+Reference: interfaceToLammps/pair_lubricate_poly.cpp:65-430 — FLD
+(fast lubrication dynamics) isotropic drag plus pairwise squeeze/shear/
+pump resistances between unequal spheres:
+
+- isotropic (flagfld): F -= R0*a*v, T -= RT0*a^3*w, with optional
+  volume-fraction corrections to R0/RT0 (flagVF branch at :175-186);
+- pairwise (flagHI): scalar resistances a_sq (squeeze), a_sh (shear),
+  a_pu (pump) from the scaled gap h = (r - a_i - a_j)/a_i and the radius
+  ratio beta0 = a_j/a_i, including the log terms when flaglog is set
+  (:306-330); gaps below cut_inner are regularized exactly as the
+  reference does (:294-296, including its 100*(a_i+a_j) quirk).
+
+Box shearing (fix deform coupling) is not supported — the reference's
+cohesive-suspension configs don't use it with sediFoam.
+
+Dense ordered-pair evaluation with component-tuple layout (see pair.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from sedifoam_tpu.dem.state import ParticleState
+
+
+@dataclasses.dataclass(frozen=True)
+class LubricationParams:
+    """pair_style lubricate/poly mu flaglog flagfld cutinner cutoff
+    [flagHI] [flagVF]."""
+
+    mu: float = 1e-3          # dynamic viscosity
+    flaglog: int = 0          # include log terms (and shear/pump)
+    flagfld: int = 0          # isotropic FLD drag
+    cut_inner: float = 0.0    # inner gap regularization cutoff (distance)
+    cut: float = 0.0          # outer cutoff (distance)
+    flag_hi: int = 1          # pairwise hydrodynamic interactions
+    flag_vf: int = 1          # volume-fraction corrections
+    box_volume: float = 1.0   # V_T for the volume-fraction correction
+
+
+def lubrication_forces(state: ParticleState, p: LubricationParams
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (force (N,3), torque (N,3))."""
+    mu = p.mu
+    x, v, w = state.pos, state.vel, state.omega
+    rad = state.radius
+    n = state.n_capacity
+    active = state.active
+
+    force = jnp.zeros_like(v)
+    torque = jnp.zeros_like(v)
+
+    # ---- isotropic FLD terms (with volume-fraction correction) --------
+    if p.flagfld:
+        vol_p = jnp.sum(state.volume * active)
+        vf = vol_p / p.box_volume if p.flag_vf else 0.0
+        if p.flaglog:
+            R0 = 6 * math.pi * mu * (1.0 + 2.725 * vf - 6.583 * vf * vf)
+            RT0 = 8 * math.pi * mu * (1.0 + 0.749 * vf - 2.469 * vf * vf)
+        else:
+            R0 = 6 * math.pi * mu * (1.0 + 2.16 * vf)
+            RT0 = 8 * math.pi * mu * (1.0 + 0.0 * vf)
+        force = force - R0 * rad[:, None] * v * active[:, None]
+        torque = torque - RT0 * (rad ** 3)[:, None] * w * active[:, None]
+
+    if not p.flag_hi:
+        return force, torque
+
+    # ---- pairwise squeeze/shear/pump -----------------------------------
+    delta = tuple(x[:, None, c] - x[None, :, c] for c in range(3))
+    rsq = delta[0] ** 2 + delta[1] ** 2 + delta[2] ** 2
+    within = active[:, None] & active[None, :] & ~jnp.eye(n, dtype=bool)
+    within &= rsq < p.cut ** 2
+    rsq_safe = jnp.where(within, rsq, 1.0)
+    r = jnp.sqrt(rsq_safe)
+
+    radi = rad[:, None]
+    radj = rad[None, :]
+
+    # closest-approach points (from centers, along -delta for i)
+    xl = tuple(-delta[c] / r * radi for c in range(3))
+    jl = tuple(-delta[c] / r * radj for c in range(3))
+
+    wi = tuple(w[:, None, c] + jnp.zeros_like(r) for c in range(3))
+    wj = tuple(w[None, :, c] + jnp.zeros_like(r) for c in range(3))
+
+    # surface velocities at closest approach (no background shear field)
+    vi = (v[:, None, 0] + (wi[1] * xl[2] - wi[2] * xl[1]),
+          v[:, None, 1] + (wi[2] * xl[0] - wi[0] * xl[2]),
+          v[:, None, 2] + (wi[0] * xl[1] - wi[1] * xl[0]))
+    vj = (v[None, :, 0] - (wj[1] * jl[2] - wj[2] * jl[1]),
+          v[None, :, 1] - (wj[2] * jl[0] - wj[0] * jl[2]),
+          v[None, :, 2] - (wj[0] * jl[1] - wj[1] * jl[0]))
+
+    # scaled gap with the reference's inner regularization
+    h_sep = r - radi - radj
+    h_sep = jnp.where(r < p.cut_inner, 100.0 * radi + 100.0 * radj, h_sep)
+    h = jnp.maximum(h_sep / radi, 1e-12)
+
+    beta0 = radj / radi
+    beta1 = 1.0 + beta0
+    logih = jnp.log(1.0 / h)
+
+    a_sq = beta0 ** 2 / beta1 ** 2 / h
+    if p.flaglog:
+        a_sq = a_sq + (1.0 + 7.0 * beta0 + beta0 ** 2) / 5.0 / beta1 ** 3 \
+            * logih
+        a_sq = a_sq + (1.0 + 18.0 * beta0 - 29.0 * beta0 ** 2
+                       + 18.0 * beta0 ** 3 + beta0 ** 4) / 21.0 \
+            / beta1 ** 4 * h * logih
+    a_sq = 6.0 * math.pi * mu * radi * a_sq
+
+    if p.flaglog:
+        a_sh = (4.0 * beta0 * (2.0 + beta0 + 2.0 * beta0 ** 2)
+                / 15.0 / beta1 ** 3 * logih)
+        a_sh = a_sh + (4.0 * (16.0 - 45.0 * beta0 + 58.0 * beta0 ** 2
+                              - 45.0 * beta0 ** 3 + 16.0 * beta0 ** 4)
+                       / 375.0 / beta1 ** 4 * h * logih)
+        a_sh = 6.0 * math.pi * mu * radi * a_sh
+        a_pu = beta0 * (4.0 + beta0) / 10.0 / beta1 ** 2 * logih
+        a_pu = a_pu + ((32.0 - 33.0 * beta0 + 83.0 * beta0 ** 2
+                        + 43.0 * beta0 ** 3) / 250.0 / beta1 ** 3 * h * logih)
+        a_pu = 8.0 * math.pi * mu * radi ** 3 * a_pu
+
+    vr = tuple(vi[c] - vj[c] for c in range(3))
+    vnnr = sum(vr[c] * delta[c] for c in range(3)) / r
+    vn = tuple(vnnr * delta[c] / r for c in range(3))
+    vt = tuple(vr[c] - vn[c] for c in range(3))
+
+    fpair = tuple(a_sq * vn[c] for c in range(3))
+    if p.flaglog:
+        fpair = tuple(fpair[c] + a_sh * vt[c] for c in range(3))
+    fpair = tuple(jnp.where(within, fpair[c], 0.0) for c in range(3))
+
+    force = force - jnp.stack([jnp.sum(fpair[c], axis=1)
+                               for c in range(3)], axis=-1)
+
+    if p.flaglog:
+        tq = (xl[1] * fpair[2] - xl[2] * fpair[1],
+              xl[2] * fpair[0] - xl[0] * fpair[2],
+              xl[0] * fpair[1] - xl[1] * fpair[0])
+        dw = tuple(wi[c] - wj[c] for c in range(3))
+        wdotn = sum(dw[c] * delta[c] for c in range(3)) / r
+        wt = tuple(jnp.where(within, a_pu * (dw[c] - wdotn * delta[c] / r),
+                             0.0) for c in range(3))
+        torque = torque - jnp.stack([
+            jnp.sum(jnp.where(within, tq[c], 0.0) + wt[c], axis=1)
+            for c in range(3)], axis=-1)
+
+    return force, torque

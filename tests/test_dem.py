@@ -135,3 +135,31 @@ def test_tangential_coulomb_cap():
     # friction torque spins the particle toward rolling (omega_z < 0 for
     # +x sliding on a floor with normal +y)
     assert float(st.omega[0, 2]) < 0.0
+
+
+def test_lubrication_squeeze_resists_approach():
+    """pair lubricate/poly: approaching spheres feel a squeeze force that
+    diverges as the gap closes; the isotropic FLD term damps motion."""
+    from sedifoam_tpu.dem.lubrication import (LubricationParams,
+                                              lubrication_forces)
+    r1, r2 = 0.005, 0.0025  # polydisperse
+    gap = 0.001
+    st = make_particles(
+        pos=[[0.0, 0.0, 0.0], [r1 + r2 + gap, 0.0, 0.0]],
+        vel=[[0.1, 0.0, 0.0], [-0.1, 0.0, 0.0]],
+        radius=[r1, r2], density=1000.0, n_walls=0)
+    p = LubricationParams(mu=1e-3, flaglog=1, flagfld=1,
+                          cut_inner=(r1 + r2) * 1.0001,
+                          cut=(r1 + r2 + 3 * gap), box_volume=1e-3)
+    f, tq = lubrication_forces(st, p)
+    f = np.asarray(f)
+    # squeeze opposes approach: particle 0 pushed -x, particle 1 +x
+    assert f[0, 0] < 0 and f[1, 0] > 0
+    # smaller gap -> larger force
+    st2 = st._replace(pos=st.pos.at[1, 0].set(r1 + r2 + gap / 4))
+    f2, _ = lubrication_forces(st2, p)
+    assert abs(float(f2[0, 0])) > abs(f[0, 0])
+    # isotropic drag on a lone moving particle
+    st3 = st._replace(active=st.active.at[1].set(False))
+    f3, _ = lubrication_forces(st3, p)
+    assert f3[0, 0] < 0  # opposes +x motion
