@@ -76,11 +76,18 @@ def build_case(n_particles=2048, nx=32, ny=64, nz=32, sub_steps=10,
     cfg = SimConfig(grid=grid, bcs=bcs, fluid=fluid_cfg, cloud=cloud_cfg,
                     dem=dem_cfg)
 
-    # random loose packing in the lower third of the bed
+    # overlap-free jittered lattice in the lower part of the bed (random
+    # placement would overlap and detonate the initial contact forces)
     rng = np.random.RandomState(42)
-    pos = rng.uniform([2 * r, 2 * r, 2 * r],
-                      [L[0] - 2 * r, L[1] / 3, L[2] - 2 * r],
-                      size=(n_particles, 3))
+    pitch = 2.2 * r
+    nxp = int((L[0] - 2 * r) / pitch)
+    nzp = int((L[2] - 2 * r) / pitch)
+    nyp = int(np.ceil(n_particles / (nxp * nzp)))
+    ii = np.arange(n_particles)
+    ix, iz, iy = ii % nxp, (ii // nxp) % nzp, ii // (nxp * nzp)
+    pos = np.stack([2 * r + ix * pitch, 2 * r + iy * pitch,
+                    2 * r + iz * pitch], axis=1)
+    pos += rng.uniform(-0.05 * r, 0.05 * r, pos.shape)
     particles = make_particles(pos=pos, radius=r, density=2500.0,
                                capacity=n_particles, n_walls=len(walls),
                                neighbor_k=32 if backend == "binned" else None,
@@ -105,15 +112,20 @@ def main():
                             sub_steps=sub_steps, backend=backend)
     step = make_step_fn(cfg)
 
+    def sync(s):
+        # force a real device->host fetch: block_until_ready can return
+        # before execution completes on tunnelled backends
+        return float(jnp.sum(s.particles.vel[:, 1]))
+
     # warmup / compile
     state = step(state)
-    jax.block_until_ready(state)
+    sync(state)
 
     n_timed = 3 if small else 10
     t0 = time.perf_counter()
     for _ in range(n_timed):
         state = step(state)
-    jax.block_until_ready(state)
+    sync(state)
     dt_wall = time.perf_counter() - t0
 
     psteps = n_particles * sub_steps * n_timed / dt_wall

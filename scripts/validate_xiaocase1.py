@@ -44,8 +44,8 @@ def main():
     # probe locations from xiaocase1/system/controlDict functions block
     probes = [(0.02, 0.002, 0.003), (0.02, 0.16, 0.003)]
     sim = Simulation(cfg, state, probe_locations=probes,
-                     steps_per_host_visit=20)
-    sim.run(args.t_end, probe_every=1)
+                     steps_per_host_visit=20, )
+    sim.run(args.t_end, probe_every=5)
 
     times, p = sim.probes.series("p")
     dp = p[:, 0] - p[:, 1]

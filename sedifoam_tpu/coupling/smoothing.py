@@ -24,6 +24,8 @@ from sedifoam_tpu import bc as _bc
 from sedifoam_tpu import linop, linsolve, ops
 from sedifoam_tpu.grid import FaceField, Grid
 
+USE_FASTDIAG = True  # exact tensor-product smoother (CG fallback if False)
+
 # grids up to this many cells use the precomputed dense smoother: the
 # whole k-step implicit diffusion collapses to ONE matmul on the MXU
 # (the operator is constant — geometry + bandwidth only), which matches
@@ -67,15 +69,18 @@ def smooth(field, grid: Grid, bandwidth: float, steps: int,
     if steps <= 0 or bandwidth <= 0.0:
         return field
 
-    if grid.n_cells <= DENSE_SMOOTHER_MAX_CELLS:
-        M = jnp.asarray(
-            _dense_smoother_matrix(grid, float(bandwidth), int(steps),
-                                   tuple(float(d) for d in direction)),
-            field.dtype)
-        flat = field.reshape(field.shape[:-3] + (grid.n_cells,))
-        out = jnp.einsum("ij,...j->...i", M, flat,
-                         preferred_element_type=field.dtype)
-        return out.reshape(field.shape)
+    if USE_FASTDIAG:
+        # exact tensor-product solve: (V/dt I - L)^-1 applied `steps`
+        # times, all matmuls (fastsolve.py) — no iteration, any grid size
+        from sedifoam_tpu import fastsolve
+        solver = fastsolve.smoothing_solver(
+            grid, tuple(float(d) for d in direction), field.dtype)
+        dt_f = (bandwidth ** 2 / 4.0) / steps
+        c0 = grid.cell_volume / dt_f
+        f = field
+        for _ in range(int(steps)):
+            f = solver.solve(c0 * f, c0)
+        return f
 
     diffusion_time = bandwidth ** 2 / 4.0
     dt = diffusion_time / steps

@@ -64,9 +64,9 @@ def make_binner(lo: Tuple[float, float, float], hi: Tuple[float, float, float],
         sorted_bins = bin_id[order]
         starts = jnp.searchsorted(sorted_bins, jnp.arange(n_bins + 1))
 
-        # candidate slots: for each of 27 offsets, M entries from that bin;
-        # layout (27M, N) keeps N minor-most
-        cand_list, valid_list = [], []
+        # candidate SLOTS (positions in the sorted order): for each of 27
+        # offsets, M entries from that bin; layout (27M, N) keeps N minor
+        slot_list, valid_list = [], []
         arangeM = jnp.arange(M)[:, None]            # (M, 1)
         for (di, dj, dk) in offsets:
             nijk = ijk + jnp.asarray([di, dj, dk])
@@ -78,27 +78,30 @@ def make_binner(lo: Tuple[float, float, float], hi: Tuple[float, float, float],
             e = starts[nb_id + 1]
             slot = s[None, :] + arangeM              # (M, N)
             v = ok[None, :] & (slot < e[None, :])
-            cand = order[jnp.clip(slot, 0, n - 1)]
-            cand_list.append(cand)
+            slot_list.append(jnp.clip(slot, 0, n - 1))
             valid_list.append(v)
-        cand = jnp.concatenate(cand_list, axis=0)     # (27M, N)
+        slots = jnp.concatenate(slot_list, axis=0)    # (27M, N)
         valid = jnp.concatenate(valid_list, axis=0)
 
-        me = jnp.arange(n)[None, :]
-        valid &= cand != me
+        # distances via SORTED positions (per-component; a (27M,N,3) row
+        # gather would tile the 3-axis to 128 lanes = 42x memory)
+        me_slot = jnp.argsort(order)                  # particle -> sorted pos
+        valid &= slots != me_slot[None, :]
         valid &= active[None, :]
-
-        # keep the K nearest candidates (componentwise d2: no (.,.,3))
-        d2 = jnp.zeros_like(cand, pos.dtype)
+        d2 = jnp.zeros_like(slots, pos.dtype)
         for c in range(3):
-            pc = pos[:, c]
-            diff = pc[None, :] - pc[cand]
+            pc_sorted = pos[:, c][order]
+            diff = pos[:, c][None, :] - pc_sorted[slots]
             d2 = d2 + diff * diff
         d2 = jnp.where(valid, d2, jnp.inf)
-        order2 = jnp.argsort(d2, axis=0)[:K]          # (K, N)
-        idx = jnp.take_along_axis(cand, order2, axis=0)
-        keep = jnp.take_along_axis(valid, order2, axis=0)
-        return jnp.where(keep, idx, n).astype(jnp.int32)
+
+        # K nearest via top_k on the minor axis, then a single small
+        # (K, N) gather recovers the particle ids
+        negd2, sel = jax.lax.top_k(-d2.T, K)          # (N, K)
+        slot_sel = jnp.take_along_axis(slots.T, sel, axis=1)   # (N, K)
+        keep = jnp.isfinite(-negd2)
+        idx = order[slot_sel]                          # (N, K)
+        return jnp.where(keep, idx, n).astype(jnp.int32).T
 
     return rebuild
 
@@ -128,9 +131,17 @@ def pair_forces_binned(state: ParticleState, params: PairParams, dt: float,
     has = idx < n
     j = jnp.clip(idx, 0, n - 1)                   # (K, N)
 
-    delta = tuple(x[:, c][None, :] - x[:, c][j] for c in range(3))
+    # ONE row gather for all partner fields: scalar gathers cost ~10x a
+    # row gather on TPU (each lookup pays index processing; rows amortize)
+    packed = jnp.stack([x[:, 0], x[:, 1], x[:, 2],
+                        v[:, 0], v[:, 1], v[:, 2],
+                        w[:, 0], w[:, 1], w[:, 2],
+                        rad, m], axis=-1)         # (N, 11)
+    pg = packed[j]                                # (K, N, 11)
+
+    delta = tuple(x[:, c][None, :] - pg[..., c] for c in range(3))
     rsq = delta[0] ** 2 + delta[1] ** 2 + delta[2] ** 2
-    radj = rad[j]
+    radj = pg[..., 9]
     radsum = rad[None, :] + radj
     touch = has & state.active[None, :] & (rsq < radsum * radsum)
 
@@ -139,17 +150,17 @@ def pair_forces_binned(state: ParticleState, params: PairParams, dt: float,
     rinv = 1.0 / r
     rsqinv = 1.0 / rsq_safe
 
-    vr = tuple(v[:, c][None, :] - v[:, c][j] for c in range(3))
+    vr = tuple(v[:, c][None, :] - pg[..., 3 + c] for c in range(3))
     vnnr = sum(vr[c] * delta[c] for c in range(3))
     vn = tuple(delta[c] * vnnr * rsqinv for c in range(3))
     vt = tuple(vr[c] - vn[c] for c in range(3))
-    wr = tuple((rad[None, :] * w[:, c][None, :] + radj * w[:, c][j]) * rinv
-               for c in range(3))
+    wr = tuple((rad[None, :] * w[:, c][None, :] + radj * pg[..., 6 + c])
+               * rinv for c in range(3))
     vtr = (vt[0] - (delta[2] * wr[1] - delta[1] * wr[2]),
            vt[1] - (delta[0] * wr[2] - delta[2] * wr[0]),
            vt[2] - (delta[1] * wr[0] - delta[0] * wr[1]))
 
-    mj = m[j]
+    mj = pg[..., 10]
     meff = m[None, :] * mj / jnp.maximum(m[None, :] + mj, 1e-300)
     overlap = radsum - r
     poly_arg = overlap * rad[None, :] * radj / jnp.maximum(radsum, 1e-300)

@@ -1,0 +1,142 @@
+"""Tensor-product fast diagonalization for separable constant-coefficient
+operators on the box grid.
+
+For an operator  c0*I - sum_a D_a * L_a  (L_a = per-axis 1D volume-
+integrated Laplacian with the patch BCs), the eigendecomposition
+L_a = V_a diag(lam_a) V_a^T gives the EXACT inverse as six dense matmuls:
+
+    x = V @ [ (V^T b) / (c0 - lam_x - lam_y - lam_z) ]
+
+applied axis-by-axis — pure MXU work, no iterative loop. This replaces:
+- the diffusion-smoothing CG entirely (the smoothing operator is constant
+  per config -> exact solve, matching the reference's tol-1e-10 implicit
+  solves better than any iteration), and
+- Jacobi preconditioning of the pressure Poisson (the true face
+  coefficient Dp varies mildly around its mean; the exact constant-
+  coefficient inverse as a preconditioner takes PCG to a handful of
+  iterations at any grid size).
+
+Eigendecompositions are built once per (grid, BCs) in numpy at trace time.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from sedifoam_tpu import bc as _bc
+from sedifoam_tpu.grid import Grid
+
+# BC kind per axis side for the 1D operators
+DIRICHLET = "dirichlet"
+NEUMANN = "neumann"
+PERIODIC = "periodic"
+
+
+def bc_kind_1d(patch_kind: str) -> str:
+    if patch_kind in (_bc.FIXED_VALUE, _bc.INLET_OUTLET):
+        return DIRICHLET
+    if patch_kind == _bc.CYCLIC:
+        return PERIODIC
+    return NEUMANN  # zeroGradient / empty / slip
+
+
+@lru_cache(maxsize=32)
+def _axis_eig(n: int, coef: float, lo: str, hi: str):
+    """Eigendecomposition of the 1D volume-integrated Laplacian.
+
+    coef = area/spacing for the axis. Returns (V (n,n), lam (n,)) numpy.
+    """
+    L = np.zeros((n, n))
+    for f in range(n - 1):
+        L[f, f] -= coef
+        L[f + 1, f + 1] -= coef
+        L[f, f + 1] += coef
+        L[f + 1, f] += coef
+    if lo == PERIODIC or hi == PERIODIC:
+        L[0, 0] -= coef
+        L[-1, -1] -= coef
+        L[0, -1] += coef
+        L[-1, 0] += coef
+    else:
+        if lo == DIRICHLET:
+            L[0, 0] -= 2.0 * coef
+        if hi == DIRICHLET:
+            L[-1, -1] -= 2.0 * coef
+    lam, V = np.linalg.eigh(L)
+    return V, lam
+
+
+@lru_cache(maxsize=32)
+def _fastdiag_arrays(grid: Grid, d_coefs: Tuple[float, float, float],
+                     kinds: Tuple[Tuple[str, str], ...]):
+    """Per-axis eigenvectors + the 3D eigenvalue sum (numpy)."""
+    area = grid.face_area
+    spacing = grid.spacing
+    Vs, lams = [], []
+    for a in range(3):
+        coef = d_coefs[a] * area[a] / spacing[a]
+        V, lam = _axis_eig(grid.shape[a], coef, *kinds[a])
+        Vs.append(V)
+        lams.append(lam)
+    lam3 = (lams[0][:, None, None] + lams[1][None, :, None]
+            + lams[2][None, None, :])
+    return tuple(Vs), lam3
+
+
+class FastDiag:
+    """Callable inverse of  c0*I - sum_a D_a L_a  (volume-integrated)."""
+
+    def __init__(self, grid: Grid, d_coefs, kinds, dtype):
+        Vs, lam3 = _fastdiag_arrays(grid, tuple(float(d) for d in d_coefs),
+                                    tuple(kinds))
+        self.V = [jnp.asarray(v, dtype) for v in Vs]
+        self.lam3 = jnp.asarray(lam3, dtype)
+        # singular (all-Neumann) operators have one ~0 eigenvalue at c0=0;
+        # flag it so callers can project it out
+        self.null_tol = float(np.abs(lam3).max()) * 1e-12 + 1e-300
+
+    def _to_eig(self, b):
+        off = b.ndim - 3
+        for a in range(3):
+            b = jnp.moveaxis(
+                jnp.tensordot(self.V[a], b, axes=(0, off + a)), 0, off + a)
+        return b
+
+    def _from_eig(self, y):
+        off = y.ndim - 3
+        for a in range(3):
+            y = jnp.moveaxis(
+                jnp.tensordot(self.V[a], y, axes=(1, off + a)), 0, off + a)
+        return y
+
+    def solve(self, b, c0, project_null: bool = False):
+        """x with (c0*I - sum D_a L_a) x = b; leading batch dims allowed;
+        c0 may be a traced scalar."""
+        bh = self._to_eig(b)
+        denom = c0 - self.lam3
+        if project_null:
+            # zero the (near-)null mode instead of dividing by ~0
+            safe = jnp.abs(denom) > self.null_tol
+            bh = jnp.where(safe, bh / jnp.where(safe, denom, 1.0), 0.0)
+        else:
+            bh = bh / denom
+        return self._from_eig(bh)
+
+
+def smoothing_solver(grid: Grid, direction, dtype) -> FastDiag:
+    """Exact per-step inverse for the diffusion smoothing (zeroGradient)."""
+    kinds = ((NEUMANN, NEUMANN),) * 3
+    return FastDiag(grid, direction, kinds, dtype)
+
+
+def pressure_preconditioner(grid: Grid, pbc: _bc.FieldBC, dtype) -> FastDiag:
+    """Constant-coefficient Poisson inverse with the p-field BCs."""
+    kinds = []
+    for a in range(3):
+        lo, hi = pbc.axis(a)
+        kinds.append((bc_kind_1d(lo.kind), bc_kind_1d(hi.kind)))
+    return FastDiag(grid, (1.0, 1.0, 1.0), tuple(kinds), dtype)

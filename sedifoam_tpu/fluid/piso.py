@@ -271,13 +271,10 @@ def piso(fs: FluidState, eqn: UbEqn, grid: Grid, bcs: FluidBCs,
             diag = p_term.diag
             apply_fn = p_term.apply
             if need_ref:
-                ref_mask = jnp.zeros(grid.shape, b.dtype).at[ijk_ref].set(1.0)
-                dref = diag[ijk_ref]
-                apply_base = apply_fn
-                apply_fn = lambda x, ab=apply_base, rm=ref_mask, dr=dref: (
-                    ab(x) + rm * dr * x)
-                diag = diag + ref_mask * dref
-                b = b + ref_mask * dref * cfg.piso.p_ref_value
+                # singular (all-Neumann/periodic) system: solve in the
+                # consistent subspace and pin the constant afterwards
+                # (fvMatrix::setReference analogue, projection form)
+                b = b - jnp.mean(b)
             precond = None
             if precond_raw is not None:
                 dp_scale = sum(jnp.mean(Dp[a]) for a in range(3)) / 3.0
@@ -288,6 +285,8 @@ def piso(fs: FluidState, eqn: UbEqn, grid: Grid, bcs: FluidBCs,
                                max_iter=cfg.piso.p_max_iter,
                                precond=precond)
             p = sol.x
+            if need_ref:
+                p = p - p[ijk_ref] + cfg.piso.p_ref_value
 
         # flux correction: SfGradp = pEqn.flux()/Dp = A_f * snGrad(p)
         sgp = ops.sn_grad(p, grid, bcs.p, t=t)

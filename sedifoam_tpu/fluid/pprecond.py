@@ -69,15 +69,14 @@ def dense_poisson_inverse(grid: Grid, pbc: _bc.FieldBC, needs_ref: bool,
 
 def make_preconditioner(grid: Grid, pbc: _bc.FieldBC, needs_ref: bool,
                         ref_cell: int, dtype):
-    """Returns precond(r, dp_scale) -> z, or None for large grids."""
-    if grid.n_cells > DENSE_PRECOND_MAX_CELLS:
-        return None
-    Minv = jnp.asarray(
-        dense_poisson_inverse(grid, pbc, needs_ref, ref_cell), dtype)
+    """Returns precond(r, dp_scale) -> z (tensor-product fast
+    diagonalization at any grid size; see fastsolve.py)."""
+    from sedifoam_tpu import fastsolve
+    solver = fastsolve.pressure_preconditioner(grid, pbc, dtype)
 
     def precond(r, dp_scale):
-        z = jnp.einsum("ij,j->i", Minv, r.ravel(),
-                       preferred_element_type=r.dtype)
-        return z.reshape(r.shape) / dp_scale
+        # operator A = L * Dp (negative definite); A^-1 r = -solve(r, 0)/Dp
+        z = solver.solve(r, 0.0, project_null=True)
+        return -z / dp_scale
 
     return precond
