@@ -111,3 +111,47 @@ class Simulation:
 
     def resume(self, checkpoint_path: str) -> None:
         self.state = _ckpt.load(checkpoint_path, self.state)
+
+    def timing_split(self, n: int = 5) -> dict:
+        """Per-phase wall-time split (the writeCPUTime.H instrumentation:
+        fluid solve / particle evolve / coupling source), measured by
+        running the phases as separate device programs with real syncs."""
+        import jax.numpy as jnp
+        from sedifoam_tpu.coupling import cloud as _cloud
+        from sedifoam_tpu.fluid.step import advance_time, fluid_step
+
+        cfg = self.cfg
+
+        def sync(x):
+            return float(jax.tree.leaves(x)[0].ravel()[0])
+
+        f_fluid = jax.jit(lambda fs: fluid_step(
+            advance_time(fs, cfg.fluid), cfg.grid, cfg.bcs, cfg.fluid,
+            advance=False))
+        f_evolve = jax.jit(lambda s: _cloud.evolve(
+            s.fluid, s.particles, s.uf_smoothed, cfg.grid, cfg.bcs,
+            cfg.cloud, cfg.dem, cfg.fluid))
+        f_source = jax.jit(lambda s: _cloud.lift_drag_coeffs(
+            s.fluid, s.particles, s.uf_smoothed, cfg.grid, cfg.bcs,
+            cfg.cloud, cfg.fluid))
+
+        # warm up compiles
+        sync(f_fluid(self.state.fluid))
+        sync(f_evolve(self.state))
+        sync(f_source(self.state))
+
+        split = {"fluid": 0.0, "evolve": 0.0, "coupling_source": 0.0}
+        for _ in range(n):
+            t0 = time.perf_counter()
+            out = f_fluid(self.state.fluid)
+            sync(out)
+            split["fluid"] += time.perf_counter() - t0
+            t0 = time.perf_counter()
+            out = f_evolve(self.state)
+            sync(out)
+            split["evolve"] += time.perf_counter() - t0
+            t0 = time.perf_counter()
+            out = f_source(self.state)
+            sync(out)
+            split["coupling_source"] += time.perf_counter() - t0
+        return {k: v / n for k, v in split.items()}
