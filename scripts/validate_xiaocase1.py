@@ -51,20 +51,24 @@ def main():
     dp = p[:, 0] - p[:, 1]
 
     bench = np.loadtxt(os.path.join(args.case, "data", "p_bench.dat"))
-    mask = times >= bench[0, 0]
-    dp_bench = np.interp(times[mask], bench[:, 0], bench[:, 1])
-    dp_m = dp[mask]
-    err = (np.abs(dp_m - dp_bench).max() / max(np.abs(dp_bench).max(), 1e-9)
-           if mask.any() else float("nan"))
 
-    result = {
-        "t_end": args.t_end,
-        "n_samples": int(len(times)),
-        "dp_final": float(dp[-1]),
-        "dp_bench_final": float(dp_bench[-1]) if mask.any() else None,
-        "max_rel_err": float(err) if mask.any() else None,
-        "wall_time_s": round(sim.wall_time, 2),
-    }
+    # physically meaningful comparison: the fixed-bed ramp (t < 8 s) is
+    # deterministic -> pointwise; the bubbling-bed plateau (9-23 s) is
+    # chaotic -> compare the mean level (the bed-weight support)
+    result = {"t_end": args.t_end, "n_samples": int(len(times)),
+              "wall_time_s": round(sim.wall_time, 2)}
+    ramp = (times >= bench[0, 0]) & (times < min(8.0, args.t_end))
+    if ramp.any():
+        b = np.interp(times[ramp], bench[:, 0], bench[:, 1])
+        result["ramp_max_rel_err"] = float(
+            np.abs(dp[ramp] - b).max() / np.abs(b).max())
+    plateau = (times > 9.0) & (times < 23.0)
+    if plateau.any():
+        bm = (bench[:, 0] > 9.0) & (bench[:, 0] < 23.0)
+        result["plateau_mean"] = float(dp[plateau].mean())
+        result["plateau_mean_bench"] = float(bench[bm, 1].mean())
+        result["plateau_rel_err"] = abs(
+            result["plateau_mean"] / result["plateau_mean_bench"] - 1.0)
     print(json.dumps(result))
     if args.out:
         np.savez(args.out, times=times, dp=dp)
