@@ -1,0 +1,96 @@
+"""expMueller06/09 golden validation: fluidized-bed mean velocity profiles.
+
+Reference: cases/auto-testing/test-cases/expMueller06 — the Mueller et al.
+bubbling-bed experiment: 9,240 1.2 mm particles in a 44 mm column. The
+validation metric is time-averaged solid-velocity line profiles
+(UaMean on the sampleDict lineY* lines) against data/sets_bench/*.xy and
+the experiment (postprocessing.py:26-40).
+
+Run:  python scripts/validate_expMueller.py [--case expMueller06]
+      [--t-end 10] [--t-avg-start 2]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--case", default="expMueller06")
+    ap.add_argument("--t-end", type=float, default=10.0)
+    ap.add_argument("--t-avg-start", type=float, default=2.0)
+    ap.add_argument("--out", default="")
+    args = ap.parse_args()
+    case_dir = os.path.join(
+        "/root/reference/cases/auto-testing/test-cases", args.case)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sedifoam_tpu.io.case import load_case
+    from sedifoam_tpu.io import foamdict
+    from sedifoam_tpu.runtime.runner import Simulation
+    from sedifoam_tpu.solver import initialize
+    from sedifoam_tpu.utils.postprocess import TimeAverager, line_sample
+
+    cfg, fluid, particles, controls = load_case(case_dir, backend="binned",
+                                                dtype=jnp.float32)
+    state = initialize(fluid, particles, cfg)
+    sim = Simulation(cfg, state)
+
+    avg = TimeAverager()
+
+    def on_sample(s):
+        if s.t >= args.t_avg_start:
+            avg.add(Ua=np.asarray(s.state.fluid.Ua),
+                    alpha=np.asarray(s.state.fluid.alpha))
+
+    # sample every 50 steps for the running average (the reference's
+    # fieldAverage accumulates every step; 50-step strides converge to the
+    # same mean over thousands of samples)
+    sim.steps_per_visit = 50
+    sim.run(args.t_end, on_sample=on_sample)
+
+    ua_mean = avg.mean("Ua")
+
+    # sampleDict lines
+    sample_d = foamdict.parse_file(os.path.join(case_dir, "system",
+                                                "sampleDict"))
+    lines = {}
+    sets = sample_d.get("sets", [])
+    i = 0
+    while i < len(sets) - 1:
+        name, spec = sets[i], sets[i + 1]
+        if isinstance(spec, dict) and "start" in spec:
+            lines[name] = (spec["start"], spec["end"],
+                           int(spec.get("nPoints", 100)))
+            i += 2
+        else:
+            i += 1
+
+    result = {"case": args.case, "t_end": args.t_end,
+              "wall_time_s": round(sim.wall_time, 2)}
+    profiles = {}
+    for name, (start, end, npts) in lines.items():
+        pts, vals = line_sample(ua_mean, cfg.grid, start, end, npts)
+        profiles[name] = np.column_stack([pts[:, 0], vals])
+        bench_f = os.path.join(case_dir, "data", "sets_bench",
+                               f"{name}_UaMean.xy")
+        if os.path.exists(bench_f):
+            bench = np.loadtxt(bench_f)
+            vy = np.interp(bench[:, 0], pts[:, 0], vals[:, 1])
+            denom = max(np.abs(bench[:, 2]).max(), 1e-9)
+            result[f"{name}_uy_rms_err"] = float(
+                np.sqrt(np.mean((vy - bench[:, 2]) ** 2)) / denom)
+
+    print(json.dumps(result))
+    if args.out:
+        np.savez(args.out, **{k: v for k, v in profiles.items()})
+
+
+if __name__ == "__main__":
+    main()

@@ -25,18 +25,30 @@ _STYLE_MAP = {
 }
 
 
+def _lenient_float(tok: str) -> float:
+    """atof-style parse: take the leading numeric prefix (the reference's
+    cases contain tokens like '1.91+e2' that LAMMPS reads as 1.91)."""
+    try:
+        return float(tok)
+    except ValueError:
+        m = re.match(r"^[-+]?\d*\.?\d+(?:[eE][-+]?\d+)?", tok)
+        if m:
+            return float(m.group(0))
+        raise
+
+
 def _num(tok: str) -> Optional[float]:
     if tok.upper() == "NULL":
         return None
-    return float(tok)
+    return _lenient_float(tok)
 
 
 def _parse_pair_params(args: List[str], style: str) -> PairParams:
-    kn = float(args[0])
+    kn = _lenient_float(args[0])
     kt = _num(args[1])
-    gamman = float(args[2])
+    gamman = _lenient_float(args[2])
     gammat = _num(args[3])
-    xmu = float(args[4])
+    xmu = _lenient_float(args[4])
     dampflag = int(args[5])
     return PairParams(style=style, kn=kn, kt=kt, gamman=gamman,
                       gammat=gammat, xmu=xmu, dampflag=dampflag)
