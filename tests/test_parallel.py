@@ -1,0 +1,58 @@
+"""Multi-device sharding tests (8 virtual CPU devices, conftest).
+
+The sharded coupled step (grid-x spatial decomposition + particle-axis
+sharding, GSPMD-inserted halos/collectives) must reproduce the
+single-device result.
+"""
+
+import importlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sedifoam_tpu.parallel.mesh import make_mesh, shard_state
+from sedifoam_tpu.solver import coupled_step
+
+ge = importlib.import_module("__graft_entry__")
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_step_matches_single_device():
+    cfg, state = ge._tiny_case(nx=8, ny=8, nz=4, n_particles=16,
+                               sub_steps=2, dtype=jnp.float64)
+    step = jax.jit(lambda s: coupled_step(s, cfg))
+
+    ref = step(state)
+
+    mesh = make_mesh(8)
+    sharded = shard_state(state, mesh)
+    # confirm the placement is actually distributed
+    assert len(sharded.particles.pos.sharding.device_set) == 8
+    assert len(sharded.fluid.p.sharding.device_set) == 8
+
+    out = step(sharded)
+
+    np.testing.assert_allclose(np.asarray(out.fluid.p),
+                               np.asarray(ref.fluid.p),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(out.particles.vel),
+                               np.asarray(ref.particles.vel),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(out.fluid.alpha),
+                               np.asarray(ref.fluid.alpha),
+                               rtol=1e-10, atol=1e-14)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_multi_step_stays_finite():
+    cfg, state = ge._tiny_case(nx=8, ny=8, nz=4, n_particles=16,
+                               sub_steps=2, dtype=jnp.float64)
+    mesh = make_mesh(8)
+    state = shard_state(state, mesh)
+    step = jax.jit(lambda s: coupled_step(s, cfg))
+    for _ in range(5):
+        state = step(state)
+    assert bool(jnp.isfinite(state.fluid.p).all())
+    assert bool(jnp.isfinite(state.particles.vel).all())
