@@ -152,3 +152,37 @@ def test_dns_forcing_injects_energy():
     div_max = float(jnp.abs(ops.div_flux(fs.phib, grid)).max())
     u_rms = float(jnp.sqrt(ke))
     assert div_max * grid.dx / max(u_rms, 1e-12) < 1e-2
+
+
+def test_k_epsilon_homogeneous_decay():
+    """kEpsilon transport with no flow: dk/dt=-eps, deps/dt=-C2 eps^2/k
+    -> power-law decay k ~ t^(-1/(C2-1)) (standard model benchmark)."""
+    import dataclasses
+    from sedifoam_tpu.config import TurbulenceConfig
+    from sedifoam_tpu.fluid import turbulence as T
+    grid = Grid(nx=4, ny=4, nz=4, dx=0.01, dy=0.01, dz=0.01)
+    zg = bc.PatchBC(bc.ZERO_GRADIENT)
+    zg3 = bc.PatchBC(bc.ZERO_GRADIENT, (0.0, 0.0, 0.0))
+    bcs = FluidBCs(alpha=bc.make_field_bc({}),
+                   p=bc.make_field_bc({}),
+                   Ub=bc.make_field_bc({}, default=zg3),
+                   Ua=bc.make_field_bc({}, default=zg3))
+    k0, e0 = 1.0, 10.0
+    cfg = FluidConfig(dt=1e-3, rhob=1000.0, nub=1e-6,
+                      turbulence=TurbulenceConfig(model="kEpsilon"))
+    fs = init_fluid(grid)
+    fs = fs._replace(k=jnp.full(grid.shape, k0),
+                     epsilon=jnp.full(grid.shape, e0),
+                     nut=jnp.full(grid.shape, 0.09 * k0 ** 2 / e0))
+    correct = jax.jit(lambda s: T.correct(s, grid, bcs, cfg))
+    n = 200
+    for _ in range(n):
+        fs = correct(fs)
+    t = n * cfg.dt
+    C2 = cfg.turbulence.C2
+    # analytic: k(t) = k0 (1 + (C2-1) e0 t / k0)^(-1/(C2-1))
+    k_exact = k0 * (1 + (C2 - 1) * e0 * t / k0) ** (-1.0 / (C2 - 1))
+    k_num = float(fs.k.mean())
+    assert abs(k_num - k_exact) / k_exact < 0.05
+    # field stays uniform
+    assert float(fs.k.std()) < 1e-10
