@@ -13,7 +13,6 @@ may be smaller than particles. Each implicit step is a PCG solve at tol
 
 from __future__ import annotations
 
-from functools import lru_cache
 from typing import Tuple
 
 import jax
@@ -25,41 +24,6 @@ from sedifoam_tpu import linop, linsolve, ops
 from sedifoam_tpu.grid import FaceField, Grid
 
 USE_FASTDIAG = True  # exact tensor-product smoother (CG fallback if False)
-
-# grids up to this many cells use the precomputed dense smoother: the
-# whole k-step implicit diffusion collapses to ONE matmul on the MXU
-# (the operator is constant — geometry + bandwidth only), which matches
-# the reference's tol-1e-10 solves exactly and removes ~30 sequential CG
-# loops per coupled step.
-DENSE_SMOOTHER_MAX_CELLS = 16384
-
-
-@lru_cache(maxsize=16)
-def _dense_smoother_matrix(grid: Grid, bandwidth: float, steps: int,
-                           direction: Tuple[float, float, float]):
-    """(I - dt*div(D grad))^-steps as a dense (n, n) matrix (numpy, built
-    once per config at trace time; zeroGradient BCs)."""
-    n = grid.n_cells
-    dt = (bandwidth ** 2 / 4.0) / steps
-    V = grid.cell_volume
-    area = grid.face_area
-    spacing = grid.spacing
-    nx, ny, nz = grid.shape
-
-    A = np.zeros((n, n))
-    idx = np.arange(n).reshape(grid.shape)
-    for axis in range(3):
-        coef = direction[axis] * area[axis] / spacing[axis] / V * dt
-        for side in range(grid.shape[axis] - 1):
-            lo = np.take(idx, side, axis=axis).ravel()
-            hi = np.take(idx, side + 1, axis=axis).ravel()
-            A[lo, lo] += coef
-            A[hi, hi] += coef
-            A[lo, hi] -= coef
-            A[hi, lo] -= coef
-    A[np.diag_indices(n)] += 1.0
-    M = np.linalg.inv(A)
-    return np.linalg.matrix_power(M, steps)
 
 
 def smooth(field, grid: Grid, bandwidth: float, steps: int,
