@@ -28,7 +28,12 @@ def seed_positions(grid: Grid, box, reduce_factor: int) -> np.ndarray:
     findAddParticleCells (softParticleCloud.C:1271-1352)."""
     if len(box) != 6:
         return np.zeros((0, 3))
-    centers = np.asarray(jax.device_get(grid.cell_centers())).reshape(3, -1).T
+    # pure numpy (trace-time constant): no device arrays here
+    xs = grid.x0 + (np.arange(grid.nx) + 0.5) * grid.dx
+    ys = grid.y0 + (np.arange(grid.ny) + 0.5) * grid.dy
+    zs = grid.z0 + (np.arange(grid.nz) + 0.5) * grid.dz
+    X, Y, Z = np.meshgrid(xs, ys, zs, indexing="ij")
+    centers = np.stack([X, Y, Z]).reshape(3, -1).T
     inside = np.all(
         (centers >= np.asarray(box[0::2])) & (centers <= np.asarray(box[1::2])),
         axis=1)

@@ -62,6 +62,27 @@ def correct(fs: FluidState, grid: Grid, bcs: FluidBCs, cfg: FluidConfig
             nut = fs.beta * nut
         return fs._replace(nut=nut, k=k)
 
+    if t.model == "kEqn":
+        # one-equation eddy-viscosity LES: transport k_sgs with
+        # production nut*|S|^2, dissipation Ce k^1.5/delta; nut=Ck sqrt(k) delta
+        dt = cfg.dt
+        kbc = _bc.zero_gradient()
+        k = jnp.maximum(fs.k, 1e-12)
+        nut = jnp.maximum(fs.nut, 0.0)
+        S2 = _strain_rate_sq(fs.Ub, grid, bcs.Ub)
+        G = nut * S2
+        w_up = FaceField(*(jnp.where(p >= 0, 1.0, 0.0) for p in fs.phib))
+        nu_k_f = ops.face_interp(cfg.nub + nut, grid, kbc)
+        term_k = (linop.ddt(k, dt, grid)
+                  + linop.div(fs.phib, k, grid, kbc, w_up)
+                  - linop.laplacian(nu_k_f, grid, kbc)
+                  + linop.Sp(t.Ce * jnp.sqrt(k) / delta, grid)
+                  - linop.source(G, grid))
+        sol = linsolve.bicgstab(term_k.apply, term_k.rhs, k, term_k.diag,
+                                tol=1e-8, max_iter=500)
+        k_new = jnp.maximum(sol.x, 1e-12)
+        return fs._replace(k=k_new, nut=t.Ck * jnp.sqrt(k_new) * delta)
+
     if t.model == "kEpsilon":
         return _k_epsilon(fs, grid, bcs, cfg)
 

@@ -220,7 +220,9 @@ def load_case(case_dir: str, capacity: Optional[int] = None,
     if os.path.exists(turb_file):
         td = foamdict.parse_file(turb_file)
         sim_type = td.get("simulationType", "laminar")
-        if sim_type in ("RAS", "RASModel") or "RAS" in td:
+        if sim_type == "laminar":
+            pass
+        elif sim_type in ("RAS", "RASModel") or "RAS" in td:
             model = td.get("RAS", {}).get("RASModel", "kEpsilon") \
                 if isinstance(td.get("RAS"), dict) else "kEpsilon"
             if td.get("RAS", {}).get("turbulence", "on") in ("off", False):
