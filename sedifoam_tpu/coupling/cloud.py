@@ -16,7 +16,7 @@ Per fluid step:
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 

@@ -19,7 +19,6 @@ Layout: scalar cell fields are (nx, ny, nz); vector fields are
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax

@@ -116,7 +116,6 @@ class Simulation:
         """Per-phase wall-time split (the writeCPUTime.H instrumentation:
         fluid solve / particle evolve / coupling source), measured by
         running the phases as separate device programs with real syncs."""
-        import jax.numpy as jnp
         from sedifoam_tpu.coupling import cloud as _cloud
         from sedifoam_tpu.fluid.step import advance_time, fluid_step
 
