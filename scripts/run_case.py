@@ -40,6 +40,9 @@ def main():
     ap.add_argument("--f64", action="store_true")
     ap.add_argument("--dump", default="")
     ap.add_argument("--dump-every", type=int, default=50)
+    ap.add_argument("--semi-implicit-drag", action="store_true",
+                    help="enable the semi-implicit fluid-side drag "
+                         "(stiff gas-solid beds, e.g. expWachem_PCM)")
     args = ap.parse_args()
 
     import jax
@@ -56,6 +59,10 @@ def main():
     cfg, fluid, particles, controls = load_case(args.case_dir,
                                                 backend=args.backend,
                                                 dtype=dtype)
+    if args.semi_implicit_drag:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, cloud=dataclasses.replace(
+            cfg.cloud, semi_implicit_drag=True))
     state = initialize(fluid, particles, cfg)
 
     probes = probe_locations_from_controldict(args.case_dir)

@@ -199,6 +199,12 @@ class CloudConfig:
     # particle deletion outside the domain (OpenFOAM wall-patch hits
     # delete particles: softParticle.C:177-184)
     delete_outside: bool = True
+    # semi-implicit fluid-side drag (the dormant `semiImplicit` branch of
+    # enhancedCloud::calcTcFields, :338-360): Omega = sum(omg) enters the
+    # momentum diagonal and Asrc = sum(omg*U_p) the flux. Stabilizes
+    # gas-solid beds where the explicit coupling gain dt*omg/(rho_b*beta)
+    # exceeds 1 (e.g. expWachem_PCM).
+    semi_implicit_drag: bool = False
     # --- particle injection/deletion regions (softParticleCloud.C:445-513,
     # enhancedCloud.C:697-711) ---
     add_particle: int = 0               # addParticle option

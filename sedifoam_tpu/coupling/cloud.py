@@ -125,11 +125,17 @@ def lift_drag_coeffs(fluid: FluidState, particles: ParticleState,
     jd_vals = _drag.jd(ccfg.drag_model, mag_uri, p_alpha, d,
                        fcfg.nub, fcfg.rhob)
 
-    asrc = _transfer.calc_asrc(particles, jd_vals, uf_smoothed, alpha,
-                               grid, smooth, ccfg.drag_smooth)
-
-    # Omega_ *= 0 (enhancedCloud.C:391): implicit drag disabled
-    drag_coef = jnp.zeros_like(alpha)
+    if ccfg.semi_implicit_drag:
+        # dormant reference branch (enhancedCloud.C:338-360): Omega on the
+        # momentum diagonal makes stiff gas-solid drag unconditionally
+        # stable; Asrc carries omg*U_p through the flux
+        drag_coef, asrc = _transfer.calc_omega_asrc_semi(
+            particles, jd_vals, grid)
+    else:
+        asrc = _transfer.calc_asrc(particles, jd_vals, uf_smoothed, alpha,
+                                   grid, smooth, ccfg.drag_smooth)
+        # Omega_ *= 0 (enhancedCloud.C:391): implicit drag disabled
+        drag_coef = jnp.zeros_like(alpha)
 
     # liftCoeff = Cl*beta*rhob*(Ur ^ curl U)  (liftDragCoeffs.H:23)
     beta = 1.0 - alpha

@@ -96,6 +96,19 @@ def calc_asrc(state: ParticleState, jd_vals, uf_smoothed, gamma, grid: Grid,
     return asrc
 
 
+def calc_omega_asrc_semi(state: ParticleState, jd_vals, grid: Grid):
+    """Semi-implicit coupling fields (enhancedCloud.C:338-360):
+    Omega = sum_p omg, Asrc = sum_p omg*U_p (no smoothing in the
+    reference's branch)."""
+    cells = particle_cells(state, grid)
+    V = grid.cell_volume
+    omg = state.volume * jd_vals / V
+    omega = scatter_to_grid(omg, cells, state.active, grid)
+    asrc = scatter_to_grid(omg[:, None] * state.vel, cells, state.active,
+                           grid)
+    return omega, asrc
+
+
 def weighted_smooth_uf(Uf, gamma, smooth_fn):
     """UfSmoothed = smooth((1-gamma)*Uf)/(1-gamma) (enhancedCloud.C:675-690)."""
     one_minus = 1.0 - gamma
