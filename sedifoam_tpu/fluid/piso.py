@@ -302,7 +302,7 @@ def piso(fs: FluidState, eqn: UbEqn, grid: Grid, bcs: FluidBCs,
             phi_dragb[a] - rUbAf[a] * sf_gradp[a] / cfg.rhob for a in range(3)))
         Ub = Ub + reconstruct(corr_flux, grid)
 
-    return fs._replace(p=p, Ub=Ub, phia=phia, phib=phib)
+    return fs._replace(p=p, Ub=Ub, phia=phia, phib=phib, phi=phi)
 
 
 def _zero_on_zero_gradient_p(flux: FaceField, pbc: _bc.FieldBC) -> FaceField:

@@ -28,6 +28,7 @@ class FluidState(NamedTuple):
     Ub: jnp.ndarray         # (3,...) fluid velocity
     phia: FaceField         # solid-phase volumetric face flux
     phib: FaceField         # fluid-phase volumetric face flux
+    phi: FaceField          # mixture flux alphaf*phia + betaf*phib
     # previous-timestep copies (Euler ddt + ddtCorr)
     alpha_old: jnp.ndarray
     Ua_old: jnp.ndarray
@@ -82,7 +83,7 @@ def init_fluid(grid: Grid, alpha=None, Ub=None, p=None, dtype=jnp.float64
     p = z if p is None else jnp.asarray(p, dtype)
     return FluidState(
         alpha=alpha, p=p, Ua=zv, Ub=Ub,
-        phia=zf, phib=zf,
+        phia=zf, phib=zf, phi=zf,
         alpha_old=alpha, Ua_old=zv, Ub_old=Ub,
         phia_old=zf, phib_old=zf,
         DDtUa=zv, DDtUb=zv,

@@ -69,7 +69,7 @@ def compute(state: SimState, grid: Grid, cfg: FluidConfig
         "avg_particle_vel_y": avg_vel[1],
         "max_particle_speed": jnp.max(
             jnp.sqrt(jnp.sum(ps.vel ** 2, axis=-1)) * ps.active),
-        "continuity_err": jnp.max(jnp.abs(_ops().div_flux(fs.phib, grid))),
+        "continuity_err": jnp.max(jnp.abs(_ops().div_flux(fs.phi, grid))),
     }
 
 
