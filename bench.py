@@ -70,7 +70,7 @@ def build_case(n_particles=2048, nx=32, ny=64, nz=32, sub_steps=10,
     r = 5e-4
     dem_cfg = DEMConfig(dt=dt / sub_steps, pair=pair, walls=walls,
                         gravity=(0.0, -9.81, 0.0),
-                        backend=backend, nbr_k=32, max_per_bin=10,
+                        backend=backend, nbr_k=24, max_per_bin=10,
                         cutoff=2 * r * 1.6, skin=0.6 * r,
                         domain_lo=(0.0, 0.0, 0.0), domain_hi=L)
     cfg = SimConfig(grid=grid, bcs=bcs, fluid=fluid_cfg, cloud=cloud_cfg,
@@ -90,7 +90,7 @@ def build_case(n_particles=2048, nx=32, ny=64, nz=32, sub_steps=10,
     pos += rng.uniform(-0.05 * r, 0.05 * r, pos.shape)
     particles = make_particles(pos=pos, radius=r, density=2500.0,
                                capacity=n_particles, n_walls=len(walls),
-                               neighbor_k=32 if backend == "binned" else None,
+                               neighbor_k=24 if backend == "binned" else None,
                                dtype=jnp.float32)
     fluid = init_fluid(grid, Ub=jnp.zeros((3,) + grid.shape, jnp.float32
                                           ).at[1].set(vin),
