@@ -242,13 +242,16 @@ def div(phi: FaceField, field, grid: Grid, fbc: _bc.FieldBC,
 
 def laplacian(gamma_face, grid: Grid, fbc: _bc.FieldBC,
               phi: Optional[FaceField] = None,
-              dtype=jnp.float64, t=0.0) -> LinTerm:
+              dtype=None, t=0.0) -> LinTerm:
     """fvm::laplacian(gamma, c): LHS apply(x) = sum_f gamma_f A_f snGrad(x).
 
     gamma_face: FaceField or scalar diffusion coefficient.
     phi: flux for inletOutlet BC switching (rarely needed for laplacians).
     """
-    if not isinstance(gamma_face, FaceField):
+    if isinstance(gamma_face, FaceField):
+        dtype = dtype or gamma_face.x.dtype
+    else:
+        dtype = dtype or jnp.result_type(gamma_face, float)
         g = gamma_face
         gamma_face = FaceField(
             jnp.full((grid.nx + 1, grid.ny, grid.nz), g, dtype),
