@@ -120,11 +120,29 @@ def adjust_dem_timestep(dt_fluid: float, dt_dem_in: float, sub_cycles: int):
     """softParticleCloud::adjustLampTimestep (softParticleCloud.C:209-261).
 
     Returns (dt_dem_adjusted, sub_cycles, sub_steps).
+
+    Matches the reference exactly, including its quirk: solidStepsPerDt is
+    truncated down to a multiple of subCycles while the DEM dt stays
+    dtFluid/dnSub, so for non-divisible ratios the DEM advances less than
+    one fluid step per coupled step (softParticleCloud.C:219-221 truncate,
+    :224 dtLampAdj). The reference's FatalError for a nonzero remainder is
+    unreachable after that truncation; we warn loudly instead of silently
+    reproducing the mismatch.
     """
     dn_sub = round(dt_fluid / dt_dem_in)
     if dn_sub == 0:
         dn_sub = 1
     solid_steps = (int(dn_sub) // int(sub_cycles)) * int(sub_cycles)
+    if solid_steps != int(dn_sub):
+        import warnings
+        warnings.warn(
+            f"adjust_dem_timestep: dtFluid/dtDEM rounds to {int(dn_sub)} "
+            f"substeps, not divisible by subCycles={sub_cycles}; truncating "
+            f"to {solid_steps} (DEM advances {solid_steps}/{int(dn_sub)} of "
+            "each fluid step — same as the reference's silent truncation at "
+            "softParticleCloud.C:219-224). Pick dt values so that "
+            "round(dtFluid/dtDEM) is a multiple of subCycles.",
+            stacklevel=2)
     dt_dem = dt_fluid / dn_sub
     if sub_cycles >= solid_steps:
         return dt_dem, solid_steps, 1
