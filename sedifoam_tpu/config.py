@@ -99,6 +99,20 @@ class DEMConfig:
     skin: float = 0.0            # Verlet skin; rebuild at disp > skin/2
     domain_lo: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     domain_hi: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    # periodic particle boundaries per axis (LAMMPS `boundary pp ff pp`,
+    # lammpsFoam/softParticle.C:186-198 cyclic transforms): positions wrap,
+    # contact deltas use minimum image in both backends
+    periodic: Tuple[bool, bool, bool] = (False, False, False)
+    # particle types held immobile (`fix ... freeze` on a `group ... type T`
+    # group, e.g. the frozen bed of transport-bedload/in.lammps): their
+    # total force/torque is zeroed after all force fixes, LAMMPS-style
+    frozen_types: Tuple[int, ...] = ()
+
+    def periodic_len(self) -> Tuple[Optional[float], ...]:
+        """Domain length per axis for periodic axes, None elsewhere."""
+        return tuple(
+            (self.domain_hi[a] - self.domain_lo[a]) if self.periodic[a]
+            else None for a in range(3))
 
 
 @dataclasses.dataclass(frozen=True)

@@ -40,12 +40,17 @@ def _smooth_fn(grid: Grid, ccfg: CloudConfig):
                    direction=ccfg.smooth_direction)
 
 
-def _delete_outside(state: ParticleState, grid: Grid) -> ParticleState:
+def _delete_outside(state: ParticleState, grid: Grid,
+                    periodic=(False, False, False)) -> ParticleState:
     """Deactivate particles that left the fluid domain (OpenFOAM deletes
-    them on wall-patch hit during Cloud::move)."""
-    lo = jnp.array([grid.x0, grid.y0, grid.z0])
-    hi = jnp.array(grid.hi)
-    inside = jnp.all((state.pos >= lo) & (state.pos <= hi), axis=-1)
+    them on wall-patch hit during Cloud::move). Periodic (cyclic) axes
+    never delete — particles wrap instead (softParticle.C:186-198)."""
+    lo = (grid.x0, grid.y0, grid.z0)
+    hi = grid.hi
+    inside = jnp.ones(state.pos.shape[0], bool)
+    for a in range(3):
+        if not periodic[a]:
+            inside &= (state.pos[:, a] >= lo[a]) & (state.pos[:, a] <= hi[a])
     return state._replace(active=state.active & inside)
 
 
@@ -96,7 +101,7 @@ def evolve(fluid: FluidState, particles: ParticleState,
         particles = particles._replace(vel_fluid_old=vel_before)
 
         if ccfg.delete_outside:
-            particles = _delete_outside(particles, grid)
+            particles = _delete_outside(particles, grid, dcfg.periodic)
 
         if k == 0:
             alpha, Ua = _transfer.particle_to_eulerian(

@@ -20,13 +20,16 @@ from sedifoam_tpu.dem.state import ParticleState
 _PINV = 0.25 / math.atan(1.0)  # 1/pi
 
 
-def cohesion_forces(state: ParticleState, params: Optional[CohesionParams]):
+def cohesion_forces(state: ParticleState, params: Optional[CohesionParams],
+                    periodic_len=None):
     if params is None or params.ah == 0.0:
         return jnp.zeros_like(state.vel)
+    from sedifoam_tpu.dem.pair import min_image
 
     x, rad = state.pos, state.radius
     n = state.n_capacity
-    delta = tuple(x[:, None, c] - x[None, :, c] for c in range(3))
+    delta = min_image(tuple(x[:, None, c] - x[None, :, c] for c in range(3)),
+                      periodic_len)
     rsq = delta[0] ** 2 + delta[1] ** 2 + delta[2] ** 2
     radsum = rad[:, None] + rad[None, :]
 

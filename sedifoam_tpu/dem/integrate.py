@@ -34,7 +34,8 @@ def maybe_rebuild_neighbors(state: ParticleState, cfg: DEMConfig,
     from sedifoam_tpu.dem.neighbor import carry_over_shear, make_binner
 
     rebuild_fn = make_binner(cfg.domain_lo, cfg.domain_hi, cfg.cutoff,
-                             cfg.nbr_k, cfg.max_per_bin)
+                             cfg.nbr_k, cfg.max_per_bin,
+                             periodic=cfg.periodic)
 
     def do_rebuild(st: ParticleState) -> ParticleState:
         idx = rebuild_fn(st.pos, st.active)
@@ -45,6 +46,11 @@ def maybe_rebuild_neighbors(state: ParticleState, cfg: DEMConfig,
         return do_rebuild(state)
 
     disp = state.pos - state.pos_at_build
+    for a in range(3):
+        if cfg.periodic[a]:
+            L = cfg.domain_hi[a] - cfg.domain_lo[a]
+            da = disp[:, a]
+            disp = disp.at[:, a].set(da - L * jnp.round(da / L))
     max_d2 = jnp.max(jnp.sum(disp * disp, axis=-1) * state.active)
     need = max_d2 > (0.5 * cfg.skin) ** 2
     return jax.lax.cond(need, do_rebuild, lambda st: st, state)
@@ -55,12 +61,15 @@ def compute_forces(state: ParticleState, cfg: DEMConfig,
                    ) -> ParticleState:
     """Total force/torque + contact history update, LAMMPS fix order."""
     dt = cfg.dt
+    plen = cfg.periodic_len()
     if cfg.backend == "binned":
         from sedifoam_tpu.dem.neighbor import pair_forces_binned
         f_pair, tq_pair, shear = pair_forces_binned(
-            state, cfg.pair, dt, state.nbr_idx, shearupdate)
+            state, cfg.pair, dt, state.nbr_idx, shearupdate,
+            periodic_len=plen)
     else:
-        f_pair, tq_pair, shear = pair_forces(state, cfg.pair, dt, shearupdate)
+        f_pair, tq_pair, shear = pair_forces(state, cfg.pair, dt, shearupdate,
+                                             periodic_len=plen)
     f_wall, tq_wall, wall_shear = wall_forces(
         state, cfg.walls, dt, step_time, shearupdate)
 
@@ -76,16 +85,27 @@ def compute_forces(state: ParticleState, cfg: DEMConfig,
             0.5 * state.mass[:, None] * (state.dudt - acc))
     v_old = state.vel
 
-    f_cohe = cohesion_forces(state, cfg.cohesion)
+    f_cohe = cohesion_forces(state, cfg.cohesion, periodic_len=plen)
 
     force = f_pair + f_wall + f_grav + f_drag + f_cohe
     torque = tq_pair + tq_wall
 
     if cfg.lubrication is not None:
         from sedifoam_tpu.dem.lubrication import lubrication_forces
-        f_lub, tq_lub = lubrication_forces(state, cfg.lubrication)
+        f_lub, tq_lub = lubrication_forces(state, cfg.lubrication,
+                                           periodic_len=plen)
         force = force + f_lub
         torque = torque + tq_lub
+
+    if cfg.frozen_types:
+        # `fix ... freeze` post_force (defined after all force fixes in
+        # every reference case that uses it): zero total force/torque so
+        # nve/sphere leaves the frozen bed at rest
+        frozen = jnp.zeros_like(state.active)
+        for t in cfg.frozen_types:
+            frozen = frozen | (state.ptype == t)
+        force = jnp.where(frozen[:, None], 0.0, force)
+        torque = jnp.where(frozen[:, None], 0.0, torque)
 
     amask = state.active[:, None]
     return state._replace(
@@ -114,6 +134,12 @@ def _substep(state: ParticleState, cfg: DEMConfig, step_time):
     # initial_integrate (nve/sphere)
     vel = state.vel + dtf * state.force * minv
     pos = state.pos + cfg.dt * vel * state.active[:, None]
+    # periodic wrap (LAMMPS Domain::pbc / softParticle.C cyclic transforms)
+    for a in range(3):
+        if cfg.periodic[a]:
+            lo = cfg.domain_lo[a]
+            L = cfg.domain_hi[a] - lo
+            pos = pos.at[:, a].set(lo + jnp.mod(pos[:, a] - lo, L))
     omega = state.omega + dtf * state.torque * iinv
     state = state._replace(pos=pos, vel=vel, omega=omega)
 

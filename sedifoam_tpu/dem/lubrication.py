@@ -44,7 +44,8 @@ class LubricationParams:
     box_volume: float = 1.0   # V_T for the volume-fraction correction
 
 
-def lubrication_forces(state: ParticleState, p: LubricationParams
+def lubrication_forces(state: ParticleState, p: LubricationParams,
+                       periodic_len=None
                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (force (N,3), torque (N,3))."""
     mu = p.mu
@@ -73,7 +74,9 @@ def lubrication_forces(state: ParticleState, p: LubricationParams
         return force, torque
 
     # ---- pairwise squeeze/shear/pump -----------------------------------
-    delta = tuple(x[:, None, c] - x[None, :, c] for c in range(3))
+    from sedifoam_tpu.dem.pair import min_image
+    delta = min_image(tuple(x[:, None, c] - x[None, :, c] for c in range(3)),
+                      periodic_len)
     rsq = delta[0] ** 2 + delta[1] ** 2 + delta[2] ** 2
     within = active[:, None] & active[None, :] & ~jnp.eye(n, dtype=bool)
     within &= rsq < p.cut ** 2

@@ -34,11 +34,13 @@ from sedifoam_tpu.dem.state import ParticleState
 
 
 def make_binner(lo: Tuple[float, float, float], hi: Tuple[float, float, float],
-                cutoff: float, k_neighbors: int, max_per_bin: int):
+                cutoff: float, k_neighbors: int, max_per_bin: int,
+                periodic: Tuple[bool, bool, bool] = (False, False, False)):
     """Build a jit-safe neighbor-rebuild function with static bin geometry.
 
     rebuild(pos (N,3), active (N,)) -> idx (K, N) int32, where idx == N
-    marks an empty slot.
+    marks an empty slot. Periodic axes wrap their bin neighborhoods and
+    candidate distances use the minimum image.
     """
     nbx = max(int((hi[0] - lo[0]) / cutoff), 1)
     nby = max(int((hi[1] - lo[1]) / cutoff), 1)
@@ -46,9 +48,18 @@ def make_binner(lo: Tuple[float, float, float], hi: Tuple[float, float, float],
     n_bins = nbx * nby * nbz
     K = k_neighbors
     M = max_per_bin
+    nb = (nbx, nby, nbz)
+    plen = tuple((hi[a] - lo[a]) if periodic[a] else None for a in range(3))
 
-    offsets = [(i, j, k) for i in (-1, 0, 1) for j in (-1, 0, 1)
-               for k in (-1, 0, 1)]
+    def axis_offsets(a: int):
+        # on a periodic axis with <3 bins, +1 and -1 wrap to the same bin:
+        # deduplicate statically so a candidate never appears twice
+        if not periodic[a] or nb[a] >= 3:
+            return (-1, 0, 1)
+        return (-1, 0) if nb[a] == 2 else (0,)
+
+    offsets = [(i, j, k) for i in axis_offsets(0) for j in axis_offsets(1)
+               for k in axis_offsets(2)]
 
     def rebuild(pos, active) -> jnp.ndarray:
         n = pos.shape[0]
@@ -70,9 +81,16 @@ def make_binner(lo: Tuple[float, float, float], hi: Tuple[float, float, float],
         arangeM = jnp.arange(M)[:, None]            # (M, 1)
         for (di, dj, dk) in offsets:
             nijk = ijk + jnp.asarray([di, dj, dk])
-            ok = jnp.all((nijk >= 0) & (nijk < jnp.asarray([nbx, nby, nbz])),
-                         axis=1)                     # (N,)
-            nb_id = (nijk[:, 0] * nby + nijk[:, 1]) * nbz + nijk[:, 2]
+            ok = jnp.ones(n, bool)
+            cols = []
+            for a in range(3):
+                col = nijk[:, a]
+                if periodic[a]:
+                    col = jnp.mod(col, nb[a])
+                else:
+                    ok &= (col >= 0) & (col < nb[a])
+                cols.append(col)
+            nb_id = (cols[0] * nby + cols[1]) * nbz + cols[2]
             nb_id = jnp.clip(nb_id, 0, n_bins - 1)
             s = starts[nb_id]
             e = starts[nb_id + 1]
@@ -92,6 +110,8 @@ def make_binner(lo: Tuple[float, float, float], hi: Tuple[float, float, float],
         for c in range(3):
             pc_sorted = pos[:, c][order]
             diff = pos[:, c][None, :] - pc_sorted[slots]
+            if plen[c] is not None:
+                diff = diff - plen[c] * jnp.round(diff / plen[c])
             d2 = d2 + diff * diff
         d2 = jnp.where(valid, d2, jnp.inf)
 
@@ -119,7 +139,7 @@ def carry_over_shear(old_idx, new_idx, old_shear):
 
 
 def pair_forces_binned(state: ParticleState, params: PairParams, dt: float,
-                       idx, shearupdate: bool = True):
+                       idx, shearupdate: bool = True, periodic_len=None):
     """Contact forces via the (K, N) neighbor table.
 
     Returns (force (N,3), torque (N,3), new_shear (3, K, N)).
@@ -139,7 +159,9 @@ def pair_forces_binned(state: ParticleState, params: PairParams, dt: float,
                         rad, m], axis=-1)         # (N, 11)
     pg = packed[j]                                # (K, N, 11)
 
-    delta = tuple(x[:, c][None, :] - pg[..., c] for c in range(3))
+    from sedifoam_tpu.dem.pair import min_image
+    delta = min_image(tuple(x[:, c][None, :] - pg[..., c] for c in range(3)),
+                      periodic_len)
     rsq = delta[0] ** 2 + delta[1] ** 2 + delta[2] ** 2
     radj = pg[..., 9]
     radsum = rad[None, :] + radj

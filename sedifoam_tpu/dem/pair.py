@@ -26,8 +26,20 @@ from sedifoam_tpu.dem.forcelaws import contact_force, vcross
 from sedifoam_tpu.dem.state import ParticleState
 
 
+def min_image(delta, periodic_len):
+    """Minimum-image convention per axis (LAMMPS domain->minimum_image;
+    the particle side of the reference's cyclic transforms,
+    lammpsFoam/softParticle.C:186-198). periodic_len: static 3-tuple of
+    domain length (periodic axis) or None."""
+    if periodic_len is None or all(L is None for L in periodic_len):
+        return delta
+    return tuple(
+        d - L * jnp.round(d / L) if L is not None else d
+        for d, L in zip(delta, periodic_len))
+
+
 def pair_forces(state: ParticleState, params: PairParams, dt: float,
-                shearupdate: bool = True
+                shearupdate: bool = True, periodic_len=None
                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Contact forces/torques for all active pairs.
 
@@ -44,7 +56,8 @@ def pair_forces(state: ParticleState, params: PairParams, dt: float,
     rad = state.radius
     m = state.mass
 
-    delta = tuple(x[:, None, c] - x[None, :, c] for c in range(3))
+    delta = min_image(tuple(x[:, None, c] - x[None, :, c] for c in range(3)),
+                      periodic_len)
     rsq = delta[0] ** 2 + delta[1] ** 2 + delta[2] ** 2
     radsum = rad[:, None] + rad[None, :]
 

@@ -317,13 +317,20 @@ def load_case(case_dir: str, capacity: Optional[int] = None,
     d_max = float(np.max(lmp.diameter)) if lmp.diameter is not None else 1e-3
     box = lmp.box if lmp.box else (grid.x0, grid.hi[0], grid.y0, grid.hi[1],
                                    grid.z0, grid.hi[2])
+    lub = lmp.lubrication
+    if lub is not None:
+        lub = dataclasses.replace(lub, box_volume=float(
+            (box[1] - box[0]) * (box[3] - box[2]) * (box[5] - box[4])))
     dem_cfg = DEMConfig(
         dt=dt_dem, pair=lmp.pair, walls=lmp.walls, gravity=lmp.gravity,
         carrier_rho=lmp.carrier_rho, cohesion=lmp.cohesion,
+        lubrication=lub,
         backend=backend, nbr_k=neighbor_k, max_per_bin=10,
         cutoff=1.6 * d_max, skin=0.3 * d_max,
         domain_lo=(box[0], box[2], box[4]),
         domain_hi=(box[1], box[3], box[5]),
+        periodic=lmp.periodic,
+        frozen_types=lmp.frozen_types,
     )
 
     # boundary conditions + initial fields

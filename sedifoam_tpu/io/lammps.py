@@ -62,8 +62,13 @@ class LammpsCase:
     gravity: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     carrier_rho: float = 0.0
     cohesion: Optional[CohesionParams] = None
+    lubrication: Optional[object] = None  # LubricationParams when parsed
     data_file: Optional[str] = None
     initial_velocity: Optional[Tuple[float, float, float]] = None
+    # `boundary pp ff pp` (p = periodic; f/ff/m = fixed)
+    periodic: Tuple[bool, bool, bool] = (False, False, False)
+    # particle types frozen via `fix ID GROUP freeze` on `group GROUP type T`
+    frozen_types: Tuple[int, ...] = ()
     # data file contents
     box: Tuple[float, ...] = ()
     pos: Optional[np.ndarray] = None
@@ -76,6 +81,7 @@ class LammpsCase:
 def parse_input_script(path: str) -> LammpsCase:
     case = LammpsCase()
     walls: List[WallSpec] = []
+    group_types = {}  # group name -> tuple of particle types
     with open(path) as f:
         for raw in f:
             line = raw.split("#")[0].strip()
@@ -85,6 +91,11 @@ def parse_input_script(path: str) -> LammpsCase:
             cmd = toks[0]
             if cmd == "timestep":
                 case.dt = float(toks[1])
+            elif cmd == "boundary":
+                # `boundary pp ff pp`: one token per axis, first char rules
+                case.periodic = tuple(t[0] == "p" for t in toks[1:4])
+            elif cmd == "group" and len(toks) >= 4 and toks[2] == "type":
+                group_types[toks[1]] = tuple(int(t) for t in toks[3:])
             elif cmd == "read_data":
                 case.data_file = toks[1]
             elif cmd == "pair_style":
@@ -92,6 +103,19 @@ def parse_input_script(path: str) -> LammpsCase:
                 if style in _STYLE_MAP:
                     case.pair = _parse_pair_params(toks[2:8],
                                                    _STYLE_MAP[style])
+                elif style in ("lubricate/poly", "lubricate"):
+                    # pair_style lubricate/poly mu flaglog flagfld
+                    #   cutinner cutoff [flagHI flagVF]
+                    # (stock PairLubricate::settings; poly compute in
+                    # interfaceToLammps/pair_lubricate_poly.cpp:65-430)
+                    from sedifoam_tpu.dem.lubrication import LubricationParams
+                    a = toks[2:]
+                    case.lubrication = LubricationParams(
+                        mu=_lenient_float(a[0]), flaglog=int(a[1]),
+                        flagfld=int(a[2]), cut_inner=_lenient_float(a[3]),
+                        cut=_lenient_float(a[4]),
+                        flag_hi=int(a[5]) if len(a) > 5 else 1,
+                        flag_vf=int(a[6]) if len(a) > 6 else 1)
                 elif style == "none":
                     case.pair = PairParams(style="none")
             elif cmd == "velocity" and len(toks) >= 6 and toks[2] == "set":
@@ -99,7 +123,12 @@ def parse_input_script(path: str) -> LammpsCase:
                                          float(toks[5]))
             elif cmd == "fix":
                 fstyle = toks[3]
-                if fstyle == "gravity":
+                if fstyle == "freeze":
+                    # fix ID GROUP freeze: immobilize the group's types
+                    case.frozen_types = tuple(sorted(
+                        set(case.frozen_types)
+                        | set(group_types.get(toks[2], ()))))
+                elif fstyle == "gravity":
                     mag = float(toks[4])
                     if toks[5] == "vector":
                         v = np.array([float(toks[6]), float(toks[7]),
