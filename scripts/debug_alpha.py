@@ -3,9 +3,7 @@ import os
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-import jax
-
-jax.config.update("jax_platforms", "cpu")
+import jax  # noqa: F401
 
 import jax.numpy as jnp  # noqa: E402
 
@@ -34,4 +32,4 @@ for k in range(15):
     print(f"t={float(st.fluid.time):.4f} raw_min={float(raw.min()):.3e} "
           f"raw_max={float(raw.max()):.3f} smooth_min={float(sm.min()):.3e} "
           f"alpha_min={float(st.fluid.alpha.min()):.3e} "
-          f"alpha_max={float(st.fluid.alpha.max()):.3f}")
+          f"alpha_max={float(st.fluid.alpha.max()):.3f}", flush=True)

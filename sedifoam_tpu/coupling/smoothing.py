@@ -39,8 +39,9 @@ def smooth(field, grid: Grid, bandwidth: float, steps: int,
         from sedifoam_tpu import fastsolve
         solver = fastsolve.smoothing_solver(
             grid, tuple(float(d) for d in direction), field.dtype)
+        # volume-normalized implicit Euler: (1/dt I - V^-1 L) x = f/dt
         dt_f = (bandwidth ** 2 / 4.0) / steps
-        c0 = grid.cell_volume / dt_f
+        c0 = 1.0 / dt_f
         f = field
         for _ in range(int(steps)):
             f = solver.solve(c0 * f, c0)

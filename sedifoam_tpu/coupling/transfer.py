@@ -25,6 +25,15 @@ def particle_cells(state: ParticleState, grid: Grid):
     return grid.flat_index(ijk)
 
 
+def cell_volume_at(cells, grid: Grid, dtype):
+    """Host-cell volume per particle: scalar on uniform grids, a gather on
+    graded ones."""
+    V = grid.cell_volume
+    if grid.uniform:
+        return V
+    return jnp.asarray(V, dtype).ravel()[cells]
+
+
 def scatter_to_grid(values, cells, active, grid: Grid):
     """sum_p values_p -> host cells. values: (N,) or (N,3)."""
     if values.ndim == 2:
@@ -55,6 +64,8 @@ def particle_to_eulerian(state: ParticleState, grid: Grid,
     cells = particle_cells(state, grid)
     vol = state.volume
     V = grid.cell_volume
+    if not grid.uniform:
+        V = jnp.asarray(V, vol.dtype)
 
     gamma = scatter_to_grid(vol, cells, state.active, grid) / V
     Ue = scatter_to_grid(vol[:, None] * state.vel, cells, state.active,
@@ -81,7 +92,7 @@ def calc_asrc(state: ParticleState, jd_vals, uf_smoothed, gamma, grid: Grid,
     then (1-gamma)-weighted smoothing.
     """
     cells = particle_cells(state, grid)
-    V = grid.cell_volume
+    V = cell_volume_at(cells, grid, jd_vals.dtype)
     omg = state.volume * jd_vals / V
     uf_at_p = gather_from_grid(uf_smoothed, cells)
     contrib = omg[:, None] * (state.vel - uf_at_p)
@@ -101,7 +112,7 @@ def calc_omega_asrc_semi(state: ParticleState, jd_vals, grid: Grid):
     Omega = sum_p omg, Asrc = sum_p omg*U_p (no smoothing in the
     reference's branch)."""
     cells = particle_cells(state, grid)
-    V = grid.cell_volume
+    V = cell_volume_at(cells, grid, jd_vals.dtype)
     omg = state.volume * jd_vals / V
     omega = scatter_to_grid(omg, cells, state.active, grid)
     asrc = scatter_to_grid(omg[:, None] * state.vel, cells, state.active,

@@ -29,9 +29,7 @@ def seed_positions(grid: Grid, box, reduce_factor: int) -> np.ndarray:
     if len(box) != 6:
         return np.zeros((0, 3))
     # pure numpy (trace-time constant): no device arrays here
-    xs = grid.x0 + (np.arange(grid.nx) + 0.5) * grid.dx
-    ys = grid.y0 + (np.arange(grid.ny) + 0.5) * grid.dy
-    zs = grid.z0 + (np.arange(grid.nz) + 0.5) * grid.dz
+    xs, ys, zs = (grid.axis_centers(a) for a in range(3))
     X, Y, Z = np.meshgrid(xs, ys, zs, indexing="ij")
     centers = np.stack([X, Y, Z]).reshape(3, -1).T
     inside = np.all(

@@ -135,7 +135,38 @@ def carry_over_shear(old_idx, new_idx, old_shear):
     match = (new_idx[:, None, :] == old_idx[None, :, :]) & \
             (new_idx[:, None, :] < n)                 # (Kn, Ko, N)
     m = match.astype(old_shear.dtype)
-    return jnp.einsum("kon,con->ckn", m, old_shear)
+    # HIGHEST: TPU f32 einsum defaults to bfloat16 passes, which would
+    # round the carried shear history to ~3 digits at every rebuild
+    return jnp.einsum("kon,con->ckn", m, old_shear,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+def gather_partners(state: ParticleState, idx, periodic_len=None):
+    """Partner-field gather for the (K, N) neighbor table.
+
+    Returns (has (K,N) bool, pg (K,N,11) packed partner fields, delta
+    3-tuple of x_i - x_j with minimum image, rsq). Packed layout:
+    [x,y,z, vx,vy,vz, wx,wy,wz, rad, m].
+    ONE row gather for all partner fields: scalar gathers cost ~10x a
+    row gather on TPU (each lookup pays index processing; rows amortize).
+    """
+    n = state.n_capacity
+    x, v, w = state.pos, state.vel, state.omega
+    rad, m = state.radius, state.mass
+
+    has = idx < n
+    j = jnp.clip(idx, 0, n - 1)                   # (K, N)
+    packed = jnp.stack([x[:, 0], x[:, 1], x[:, 2],
+                        v[:, 0], v[:, 1], v[:, 2],
+                        w[:, 0], w[:, 1], w[:, 2],
+                        rad, m], axis=-1)         # (N, 11)
+    pg = packed[j]                                # (K, N, 11)
+
+    from sedifoam_tpu.dem.pair import min_image
+    delta = min_image(tuple(x[:, c][None, :] - pg[..., c] for c in range(3)),
+                      periodic_len)
+    rsq = delta[0] ** 2 + delta[1] ** 2 + delta[2] ** 2
+    return has, pg, delta, rsq
 
 
 def pair_forces_binned(state: ParticleState, params: PairParams, dt: float,
@@ -148,21 +179,7 @@ def pair_forces_binned(state: ParticleState, params: PairParams, dt: float,
     x, v, w = state.pos, state.vel, state.omega
     rad, m = state.radius, state.mass
 
-    has = idx < n
-    j = jnp.clip(idx, 0, n - 1)                   # (K, N)
-
-    # ONE row gather for all partner fields: scalar gathers cost ~10x a
-    # row gather on TPU (each lookup pays index processing; rows amortize)
-    packed = jnp.stack([x[:, 0], x[:, 1], x[:, 2],
-                        v[:, 0], v[:, 1], v[:, 2],
-                        w[:, 0], w[:, 1], w[:, 2],
-                        rad, m], axis=-1)         # (N, 11)
-    pg = packed[j]                                # (K, N, 11)
-
-    from sedifoam_tpu.dem.pair import min_image
-    delta = min_image(tuple(x[:, c][None, :] - pg[..., c] for c in range(3)),
-                      periodic_len)
-    rsq = delta[0] ** 2 + delta[1] ** 2 + delta[2] ** 2
+    has, pg, delta, rsq = gather_partners(state, idx, periodic_len)
     radj = pg[..., 9]
     radsum = rad[None, :] + radj
     touch = has & state.active[None, :] & (rsq < radsum * radsum)

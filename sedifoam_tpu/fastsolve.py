@@ -24,6 +24,7 @@ from __future__ import annotations
 from functools import lru_cache
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -44,73 +45,98 @@ def bc_kind_1d(patch_kind: str) -> str:
     return NEUMANN  # zeroGradient / empty / slip
 
 
-@lru_cache(maxsize=32)
-def _axis_eig(n: int, coef: float, lo: str, hi: str):
-    """Eigendecomposition of the 1D volume-integrated Laplacian.
+@lru_cache(maxsize=64)
+def _axis_eig(faces: Tuple[float, ...], d_coef: float, lo: str, hi: str):
+    """Eigendecomposition of the 1D volume-NORMALIZED Laplacian
+    A = diag(1/w) L on the (possibly graded) axis with face coordinates
+    `faces`: L is the symmetric tridiagonal with internal coefficients
+    1/dist (center-to-center), Dirichlet boundary 1/(w/2), periodic seam
+    1/((w0+wn)/2); w are cell widths.
 
-    coef = area/spacing for the axis. Returns (V (n,n), lam (n,)) numpy.
+    Solved as the generalized symmetric problem L v = lam diag(w) v via
+    the similarity M = W^-1/2 L W^-1/2. Returns (fwd (n,n), bwd (n,n),
+    lam (n,)) numpy with  A = bwd @ diag(lam) @ fwd  and fwd @ bwd = I.
     """
+    f = np.asarray(faces)
+    w = np.diff(f)
+    n = len(w)
+    c = 0.5 * (f[:-1] + f[1:])
+    dist = np.diff(c)
     L = np.zeros((n, n))
-    for f in range(n - 1):
-        L[f, f] -= coef
-        L[f + 1, f + 1] -= coef
-        L[f, f + 1] += coef
-        L[f + 1, f] += coef
+    for k in range(n - 1):
+        coef = d_coef / dist[k]
+        L[k, k] -= coef
+        L[k + 1, k + 1] -= coef
+        L[k, k + 1] += coef
+        L[k + 1, k] += coef
     if lo == PERIODIC or hi == PERIODIC:
+        coef = d_coef / (0.5 * (w[0] + w[-1]))
         L[0, 0] -= coef
         L[-1, -1] -= coef
         L[0, -1] += coef
         L[-1, 0] += coef
     else:
         if lo == DIRICHLET:
-            L[0, 0] -= 2.0 * coef
+            L[0, 0] -= d_coef * 2.0 / w[0]
         if hi == DIRICHLET:
-            L[-1, -1] -= 2.0 * coef
-    lam, V = np.linalg.eigh(L)
-    return V, lam
+            L[-1, -1] -= d_coef * 2.0 / w[-1]
+    s = np.sqrt(w)
+    M = L / s[:, None] / s[None, :]
+    lam, U = np.linalg.eigh(M)
+    bwd = U / s[:, None]            # W = D^-1/2 U  (eigenvectors of A)
+    fwd = (U * s[:, None]).T        # W^-1 = U^T D^1/2
+    return fwd, bwd, lam
 
 
 @lru_cache(maxsize=32)
 def _fastdiag_arrays(grid: Grid, d_coefs: Tuple[float, float, float],
                      kinds: Tuple[Tuple[str, str], ...]):
-    """Per-axis eigenvectors + the 3D eigenvalue sum (numpy)."""
-    area = grid.face_area
-    spacing = grid.spacing
-    Vs, lams = [], []
+    """Per-axis transforms + the 3D eigenvalue sum (numpy)."""
+    fwds, bwds, lams = [], [], []
     for a in range(3):
-        coef = d_coefs[a] * area[a] / spacing[a]
-        V, lam = _axis_eig(grid.shape[a], coef, *kinds[a])
-        Vs.append(V)
+        faces = tuple(float(v) for v in grid.axis_faces(a))
+        fwd, bwd, lam = _axis_eig(faces, float(d_coefs[a]), *kinds[a])
+        fwds.append(fwd)
+        bwds.append(bwd)
         lams.append(lam)
     lam3 = (lams[0][:, None, None] + lams[1][None, :, None]
             + lams[2][None, None, :])
-    return tuple(Vs), lam3
+    return tuple(fwds), tuple(bwds), lam3
 
 
 class FastDiag:
-    """Callable inverse of  c0*I - sum_a D_a L_a  (volume-integrated)."""
+    """Callable inverse of  c0*I - sum_a D_a A_a  where A_a is the
+    volume-normalized per-axis 1D Laplacian (A = V^-1 L in 3D)."""
 
     def __init__(self, grid: Grid, d_coefs, kinds, dtype):
-        Vs, lam3 = _fastdiag_arrays(grid, tuple(float(d) for d in d_coefs),
-                                    tuple(kinds))
-        self.V = [jnp.asarray(v, dtype) for v in Vs]
+        fwds, bwds, lam3 = _fastdiag_arrays(
+            grid, tuple(float(d) for d in d_coefs), tuple(kinds))
+        self.fwd = [jnp.asarray(v, dtype) for v in fwds]
+        self.bwd = [jnp.asarray(v, dtype) for v in bwds]
         self.lam3 = jnp.asarray(lam3, dtype)
         # singular (all-Neumann) operators have one ~0 eigenvalue at c0=0;
         # flag it so callers can project it out
         self.null_tol = float(np.abs(lam3).max()) * 1e-12 + 1e-300
 
     def _to_eig(self, b):
+        # precision=HIGHEST: TPU f32 matmuls default to bfloat16 passes,
+        # whose ~1e-3 relative error destroys the maximum principle of the
+        # smoothing solve (alpha undershoots to -1e-2 at bed edges)
         off = b.ndim - 3
         for a in range(3):
             b = jnp.moveaxis(
-                jnp.tensordot(self.V[a], b, axes=(0, off + a)), 0, off + a)
+                jnp.tensordot(self.fwd[a], b, axes=(1, off + a),
+                              precision=jax.lax.Precision.HIGHEST),
+                0, off + a)
         return b
 
     def _from_eig(self, y):
         off = y.ndim - 3
         for a in range(3):
             y = jnp.moveaxis(
-                jnp.tensordot(self.V[a], y, axes=(1, off + a)), 0, off + a)
+                jnp.tensordot(self.bwd[a], y, axes=(1, off + a),
+                              precision=jax.lax.Precision.HIGHEST),
+                0, off + a)
         return y
 
     def solve(self, b, c0, project_null: bool = False):

@@ -62,10 +62,11 @@ def _ifftn_real(re, im, grid: Grid):
     for axis_len, axis in ((grid.nx, 1), (grid.ny, 2), (grid.nz, 3)):
         C, S = _idft_mats(axis_len, dt)
         # contract the spatial axis with the DFT matrix: out_j = W_jk x_k
-        re_new = (jnp.tensordot(re, C, axes=(axis, 1))
-                  - jnp.tensordot(im, S, axes=(axis, 1)))
-        im_new = (jnp.tensordot(im, C, axes=(axis, 1))
-                  + jnp.tensordot(re, S, axes=(axis, 1)))
+        hi = jax.lax.Precision.HIGHEST  # avoid TPU bf16 default on f32
+        re_new = (jnp.tensordot(re, C, axes=(axis, 1), precision=hi)
+                  - jnp.tensordot(im, S, axes=(axis, 1), precision=hi))
+        im_new = (jnp.tensordot(im, C, axes=(axis, 1), precision=hi)
+                  + jnp.tensordot(re, S, axes=(axis, 1), precision=hi))
         # tensordot moves the contracted axis to the end; rotate it back
         re = jnp.moveaxis(re_new, -1, axis)
         im = jnp.moveaxis(im_new, -1, axis)

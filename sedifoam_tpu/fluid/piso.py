@@ -38,11 +38,9 @@ def _interp_zg(c, grid):
 def gravity_flux(grid: Grid, g, dtype=jnp.float64) -> FaceField:
     """(g & Sf) as a face field."""
     area = grid.face_area
-    return FaceField(
-        jnp.full((grid.nx + 1, grid.ny, grid.nz), g[0] * area[0], dtype),
-        jnp.full((grid.nx, grid.ny + 1, grid.nz), g[1] * area[1], dtype),
-        jnp.full((grid.nx, grid.ny, grid.nz + 1), g[2] * area[2], dtype),
-    )
+    zf = grid.zeros_faces(dtype)
+    return FaceField(*(zf[a] + g[a] * ops._const(area[a], zf[a])
+                       for a in range(3)))
 
 
 def reconstruct(flux: FaceField, grid: Grid):
@@ -54,7 +52,8 @@ def reconstruct(flux: FaceField, grid: Grid):
 
     def _axis(fa, a):
         fm = ops._mv(fa, a)
-        return ops._mvback(0.5 * (fm[1:] + fm[:-1]), a) / area[a]
+        return ops._mvback(0.5 * (fm[1:] + fm[:-1]), a) \
+            / ops._const(area[a], fa)
 
     return jnp.stack([_axis(flux[a], a) for a in range(3)])
 
@@ -107,8 +106,8 @@ def div_tensor(S, grid: Grid):
         acc = jnp.zeros(grid.shape, S.dtype)
         for i in range(3):
             fv = ops._axis_faces(S[i, j], i, grid, zg, None, "interp")
-            acc = acc + ops._face_diff(fv, i) * area[i]
-        comps.append(acc / grid.cell_volume)
+            acc = acc + ops._face_diff(fv, i) * ops._const(area[i], acc)
+        comps.append(acc / ops._const(grid.cell_volume, acc))
     return jnp.stack(comps)
 
 
@@ -120,7 +119,8 @@ class UbEqn(NamedTuple):
     def A(self, grid: Grid):
         # per-component diags are identical for our BC zoology (same BC
         # kinds for every component); OpenFOAM's cmptAv reduces to this
-        return self.terms[0].diag / grid.cell_volume
+        return self.terms[0].diag / ops._const(grid.cell_volume,
+                                                self.terms[0].diag)
 
     def H(self, U, grid: Grid):
         return jnp.stack([self.terms[j].H(U[j], grid) for j in range(3)])
@@ -267,7 +267,8 @@ def piso(fs: FluidState, eqn: UbEqn, grid: Grid, bcs: FluidBCs,
 
         for _ in range(cfg.piso.n_non_orth + 1):
             p_term = linop.laplacian(Dp, grid, bcs.p, t=t)
-            b = p_term.rhs + ops.div_flux(phi, grid) * grid.cell_volume
+            b = p_term.rhs + ops.div_flux(phi, grid) \
+                * ops._const(grid.cell_volume, p_term.rhs)
             diag = p_term.diag
             apply_fn = p_term.apply
             if need_ref:
@@ -291,7 +292,8 @@ def piso(fs: FluidState, eqn: UbEqn, grid: Grid, bcs: FluidBCs,
         # flux correction: SfGradp = pEqn.flux()/Dp = A_f * snGrad(p)
         sgp = ops.sn_grad(p, grid, bcs.p, t=t)
         area = grid.face_area
-        sf_gradp = FaceField(*(sgp[a] * area[a] for a in range(3)))
+        sf_gradp = FaceField(*(sgp[a] * ops._const(area[a], sgp[a])
+                               for a in range(3)))
         phib = FaceField(*(
             phib[a] - rUbAf[a] * sf_gradp[a] / cfg.rhob for a in range(3)))
         phi = FaceField(*(
@@ -356,12 +358,19 @@ def adjust_channel_forcing(fs: FluidState, rUbA, grid: Grid,
     beta = fs.beta
     U = fs.U
     if f.mode == "Ubar":
+        # chPressureGrad.C:242-257: magUbarStar = (dir & U) weighted by
+        # beta*V; gradPplus = (magUbar - magUbarStar)/avgV(rUA);
+        # U += dir*rUA*gradPplus — U is the mixture, and alpha*Ua is
+        # particle-imposed, so the increment lands on beta*Ub:
+        # Ub += dir*rUA*gradPplus/beta.
+        V = ops._const(grid.cell_volume, beta) + jnp.zeros_like(beta)
         Udir = jnp.einsum("c,cxyz->xyz", direction, U)
-        mag_ubar_star = jnp.sum(Udir * beta) / jnp.sum(beta)
-        grad_p_plus = (f.mag_ubar - mag_ubar_star) / jnp.mean(rUbA)
-        # adjust the fluid velocity directly (the reference adjusts the
-        # mixture U, whose Ub part is what advances)
-        Ub = fs.Ub + direction[:, None, None, None] * rUbA[None] * grad_p_plus
+        bV = beta * V
+        mag_ubar_star = jnp.sum(Udir * bV) / jnp.sum(bV)
+        rub_avg = jnp.sum(rUbA * V) / jnp.sum(V)
+        grad_p_plus = (f.mag_ubar - mag_ubar_star) / rub_avg
+        dU = rUbA * grad_p_plus / jnp.maximum(beta, 1e-6)
+        Ub = fs.Ub + direction[:, None, None, None] * dU[None]
         return fs._replace(Ub=Ub, grad_p_value=fs.grad_p_value + grad_p_plus)
     if f.mode == "gradPbar":
         val = abs(f.grad_pbar) + abs(f.dpdt) * fs.time

@@ -48,7 +48,10 @@ def correct(fs: FluidState, grid: Grid, bcs: FluidBCs, cfg: FluidConfig
     if t.model == "laminar":
         return fs
 
-    delta = (grid.dx * grid.dy * grid.dz) ** (1.0 / 3.0)
+    # cubeRootVol LES delta: cellwise on graded grids
+    delta = grid.cell_volume ** (1.0 / 3.0)
+    if not grid.uniform:
+        delta = jnp.asarray(delta, fs.p.dtype)
 
     if t.model in ("Smagorinsky", "mySmagorinsky"):
         # local-equilibrium Smagorinsky: k_sgs = (2 Ck/Ce) delta^2 |symm(grad U)|^2,

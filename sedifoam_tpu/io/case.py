@@ -15,8 +15,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from sedifoam_tpu import bc as _bc
-from sedifoam_tpu.config import (CloudConfig, DEMConfig, FluidConfig,
-                                 PISOConfig, TurbulenceConfig)
+from sedifoam_tpu.config import (ChannelForcing, CloudConfig, DEMConfig,
+                                 FluidConfig, PISOConfig, TurbulenceConfig)
 from sedifoam_tpu.dem.state import ParticleState, make_particles
 from sedifoam_tpu.fluid.state import FluidBCs, FluidState, init_fluid
 from sedifoam_tpu.grid import Grid
@@ -46,33 +46,83 @@ class CaseControls:
     start_time: float = 0.0
 
 
+def _graded_faces(lo: float, hi: float, n: int, ratio: float) -> np.ndarray:
+    """simpleGrading face coordinates: ratio = width(last)/width(first)
+    (blockMesh expansion-ratio convention), geometric progression."""
+    L = hi - lo
+    if n == 1 or abs(ratio - 1.0) < 1e-12:
+        return lo + (L / n) * np.arange(n + 1)
+    r = ratio ** (1.0 / (n - 1))
+    w0 = L * (1.0 - r) / (1.0 - r ** n)
+    w = w0 * r ** np.arange(n)
+    return np.concatenate([[lo], lo + np.cumsum(w)])
+
+
+def _parse_blocks(blocks, verts):
+    """blocks list -> [(bbox_lo, bbox_hi, counts, grading)] per hex."""
+    out = []
+    i = 0
+    while i < len(blocks):
+        if blocks[i] != "hex":
+            i += 1
+            continue
+        vidx = blocks[i + 1]
+        counts = blocks[i + 2]
+        grading = [1.0, 1.0, 1.0]
+        j = i + 3
+        if j < len(blocks) and blocks[j] in ("simpleGrading", "edgeGrading"):
+            g = blocks[j + 1]
+            if blocks[j] == "simpleGrading":
+                grading = [float(v) for v in g[:3]]
+            else:  # edgeGrading: take the first edge of each direction
+                grading = [float(g[0]), float(g[4]), float(g[8])]
+            j += 2
+        pts = verts[vidx]
+        out.append((pts.min(axis=0), pts.max(axis=0),
+                    [int(c) for c in counts], grading))
+        i = j
+    return out
+
+
+def _merge_block_axes(blocks_info) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-axis face coordinates for hexes tiling a box as a 1-D stack
+    (covers every reference multi-block case, e.g. transport-vortex-dune's
+    two y-stacked blocks)."""
+    axes_faces = []
+    for a in range(3):
+        segs = {}
+        for (lo, hi, counts, grading) in blocks_info:
+            key = (round(float(lo[a]), 12), round(float(hi[a]), 12),
+                   counts[a], grading[a])
+            segs[key] = None
+        keys = sorted(segs.keys())
+        # contiguity check for stacked segments
+        faces = _graded_faces(keys[0][0], keys[0][1], keys[0][2], keys[0][3])
+        for k in keys[1:]:
+            assert abs(k[0] - faces[-1]) <= 1e-9 * max(1.0, abs(k[0])), (
+                f"blocks do not tile contiguously along axis {a}: {keys}")
+            faces = np.concatenate(
+                [faces, _graded_faces(k[0], k[1], k[2], k[3])[1:]])
+        axes_faces.append(faces)
+    return tuple(axes_faces)
+
+
 def read_block_mesh(path: str):
     """blockMeshDict -> (Grid, {patch_name: [face_ids]}).
 
-    face ids: 0..5 = xm, xp, ym, yp, zm, zp. Single-block hex meshes only
-    (every reference case is one: e.g. xiaocase1/constant/polyMesh/
-    blockMeshDict).
+    face ids: 0..5 = xm, xp, ym, yp, zm, zp. Supports single or 1-D
+    stacked multi-hex meshes with simpleGrading (transport-bedload's
+    `simpleGrading (1 10 1)`, transport-vortex-dune's two y-blocks).
     """
     d = foamdict.parse_file(path)
     scale = float(d.get("convertToMeters", 1.0))
     verts = np.asarray(d["vertices"], float) * scale
-    blocks = d["blocks"]
-    # ['hex', [v0..v7], [nx,ny,nz], 'simpleGrading', [..]]
-    ncells = None
-    for item in blocks:
-        if isinstance(item, list) and len(item) == 3 and all(
-                isinstance(x, int) for x in item):
-            ncells = item
-            break
-    assert ncells is not None, "no cell-count triplet in blocks"
+    blocks_info = _parse_blocks(d["blocks"], verts)
+    assert blocks_info, "no hex blocks in blockMeshDict"
+    xf, yf, zf = _merge_block_axes(blocks_info)
+    grid = Grid.from_faces(xf, yf, zf)
     lo = verts.min(axis=0)
     hi = verts.max(axis=0)
-    nx, ny, nz = ncells
-    grid = Grid(nx=nx, ny=ny, nz=nz,
-                dx=(hi[0] - lo[0]) / nx,
-                dy=(hi[1] - lo[1]) / ny,
-                dz=(hi[2] - lo[2]) / nz,
-                x0=float(lo[0]), y0=float(lo[1]), z0=float(lo[2]))
 
     def face_id_of_quad(quad: List[int]) -> Optional[int]:
         pts = verts[quad]
@@ -166,6 +216,8 @@ def _read_field_bc(field_file: str, patch_faces: Dict[str, List[int]],
             val = foamdict.uniform_value(spec.get("inletValue", 0.0))
         else:
             val = 0.0
+        if val == "$internalField":  # OpenFOAM macro expansion
+            val = internal
         if isinstance(val, list):
             vt = tuple(float(v) for v in val)
         else:
@@ -301,8 +353,45 @@ def load_case(case_dir: str, capacity: Optional[int] = None,
         clear_box=box6("clearInitialBox"),
     )
 
+    # channel forcing (chPressureGrad::initPressureGrad,
+    # chPressureGrad.C:48-130): Ubar XOR gradPbar XOR varyingGradP in
+    # constant/transportProperties
+    forcing = ChannelForcing()
+
+    def _vec(key):
+        v = foamdict.dimensioned_vector(transport[key])
+        return np.asarray([float(x) for x in v])
+
+    if "Ubar" in transport:
+        assert "gradPbar" not in transport, \
+            "set only one of Ubar/gradPbar (chPressureGrad.C:53-59)"
+        ubar = _vec("Ubar")
+        mag = float(np.linalg.norm(ubar))
+        forcing = ChannelForcing(mode="Ubar",
+                                 flow_direction=tuple(ubar / (mag + 1e-300)),
+                                 mag_ubar=mag)
+    elif "gradPbar" in transport:
+        gp = _vec("gradPbar")
+        mag = float(np.linalg.norm(gp))
+        dpdt = 0.0
+        if "dpdt" in transport:
+            dpdt = float(np.linalg.norm(_vec("dpdt")))
+        forcing = ChannelForcing(mode="gradPbar",
+                                 flow_direction=tuple(gp / (mag + 1e-300)),
+                                 grad_pbar=mag, dpdt=dpdt)
+    elif "varyingGradP" in transport:
+        gp = _vec("varyingGradP")
+        mag = float(np.linalg.norm(gp))
+        forcing = ChannelForcing(
+            mode="varyingGradP",
+            flow_direction=tuple(gp / (mag + 1e-300)),
+            grad_pbar=mag,
+            period=foamdict.dimensioned_value(transport["varyingPeriod"]),
+            varying_type=str(transport.get("varyingType", "sinusoidal")))
+
     fluid_cfg = FluidConfig(
         dt=controls.dt,
+        forcing=forcing,
         rhob=foamdict.dimensioned_value(transport["rhob"]),
         nub=foamdict.dimensioned_value(transport["nub"]),
         rhoa=foamdict.dimensioned_value(transport.get("rhoa", 2000.0)),
@@ -337,7 +426,20 @@ def load_case(case_dir: str, capacity: Optional[int] = None,
     bcs_alpha, alpha0 = _read_field_bc(os.path.join(zero_d, "alpha"),
                                        patch_faces, 1)
     bcs_p, p0 = _read_field_bc(os.path.join(zero_d, "p"), patch_faces, 1)
-    bcs_Ub, Ub0 = _read_field_bc(os.path.join(zero_d, "Ub"), patch_faces, 3)
+    ub_file = os.path.join(zero_d, "Ub")
+    if os.path.exists(ub_file):
+        bcs_Ub, Ub0 = _read_field_bc(ub_file, patch_faces, 3)
+    else:
+        # some example cases ship no 0/Ub (e.g. transport-bedload):
+        # mirror Ua's patch kinds with no-slip walls, start from rest
+        bcs_Ua_tmp, _ = _read_field_bc(os.path.join(zero_d, "Ua"),
+                                       patch_faces, 3)
+        bcs_Ub = _bc.FieldBC(*(
+            _bc.PatchBC(_bc.FIXED_VALUE, (0.0, 0.0, 0.0))
+            if bcs_Ua_tmp.patch(p).kind in (_bc.SLIP, _bc.FIXED_VALUE)
+            else bcs_Ua_tmp.patch(p)
+            for p in _bc.PATCHES))
+        Ub0 = 0.0
     ua_file = os.path.join(zero_d, "Ua")
     if os.path.exists(ua_file):
         bcs_Ua, _ = _read_field_bc(ua_file, patch_faces, 3)

@@ -66,11 +66,12 @@ class LinTerm:
     # --- the two quantities PISO consumes -----------------------------
     def A(self, grid: Grid):
         """Diagonal per unit volume (OpenFOAM fvMatrix::A)."""
-        return self.diag / grid.cell_volume
+        return self.diag / ops._const(grid.cell_volume, self.diag)
 
     def H(self, x, grid: Grid):
         """(rhs - offdiag*x)/V (OpenFOAM fvMatrix::H)."""
-        return (self.rhs - (self.apply(x) - self.diag * x)) / grid.cell_volume
+        return (self.rhs - (self.apply(x) - self.diag * x)) \
+            / ops._const(grid.cell_volume, x)
 
     def relax(self, x, alpha: float) -> "LinTerm":
         """fvMatrix::relax(alpha): D /= alpha; rhs += (D' - D) * x_current."""
@@ -114,7 +115,7 @@ def ddt(field_old, dt: float, grid: Grid, coeff=None, coeff_old=None) -> LinTerm
     diag = V*coeff/dt; rhs = V*coeff_old/dt*c_old (old coeff with old field,
     matching OpenFOAM EulerDdtScheme::fvmDdt).
     """
-    V = grid.cell_volume
+    V = ops._const(grid.cell_volume, field_old)
     if coeff is None:
         coeff = jnp.ones(grid.shape, field_old.dtype)
         coeff_old = coeff
@@ -132,14 +133,14 @@ def ddt(field_old, dt: float, grid: Grid, coeff=None, coeff_old=None) -> LinTerm
 
 def Sp(s, grid: Grid) -> LinTerm:
     """fvm::Sp(s, c): appears on LHS as +s*V*c."""
-    V = grid.cell_volume
+    V = ops._const(grid.cell_volume, s)
     diag = s * V
     return LinTerm(diag, lambda x: diag * x, jnp.zeros(grid.shape, diag.dtype))
 
 
 def source(src, grid: Grid) -> LinTerm:
     """Explicit source on the RHS (volume-integrated): ... == src."""
-    V = grid.cell_volume
+    V = ops._const(grid.cell_volume, src)
     z = jnp.zeros(grid.shape, src.dtype)
     return LinTerm(z, lambda x: jnp.zeros_like(x), src * V)
 
@@ -258,15 +259,15 @@ def laplacian(gamma_face, grid: Grid, fbc: _bc.FieldBC,
             jnp.full((grid.nx, grid.ny + 1, grid.nz), g, dtype),
             jnp.full((grid.nx, grid.ny, grid.nz + 1), g, dtype),
         )
+    import numpy as np
     area = grid.face_area
-    spacing = grid.spacing
     hom = _homogeneous(fbc)
 
     def apply_fn(x):
         g = ops.sn_grad(x, grid, hom, phi)
         out = jnp.zeros_like(x)
         for a in range(3):
-            F = gamma_face[a] * g[a] * area[a]
+            F = gamma_face[a] * g[a] * ops._const(area[a], x)
             Fm = ops._mv(F, a)
             out = out + ops._mvback(Fm[1:] - Fm[:-1], a)
         return out
@@ -275,28 +276,43 @@ def laplacian(gamma_face, grid: Grid, fbc: _bc.FieldBC,
     rhs = jnp.zeros(grid.shape, dtype)
     for a in range(3):
         gm = ops._mv(gamma_face[a], a)
-        coef_int = gm[1:-1] * area[a] / spacing[a]
+        if grid.uniform:
+            area_m = area[a]
+            d = grid.spacing[a]
+            inv_int = 1.0 / d
+            inv_lo = inv_hi = 2.0 / d   # boundary delta = d/2
+            inv_cyc = 1.0 / d
+        else:
+            area_m = jnp.asarray(np.moveaxis(area[a], a, 0), dtype)
+            dists = grid.axis_dists(a)
+            inv_int = jnp.asarray((1.0 / dists[1:-1]).reshape(-1, 1, 1),
+                                  dtype)
+            inv_lo = 1.0 / dists[0]
+            inv_hi = 1.0 / dists[-1]
+            w = grid.axis_widths(a)
+            inv_cyc = 1.0 / (0.5 * (w[0] + w[-1]))
+        coef_int = gm[1:-1] * area_m * inv_int
         dm = jnp.zeros_like(ops._mv(diag, a))
         rm = jnp.zeros_like(dm)
         dm = dm.at[:-1].add(-coef_int)
         dm = dm.at[1:].add(-coef_int)
         lo_p, hi_p = fbc.axis(a)
-        two_over_d = 2.0 * area[a] / spacing[a]
-        for is_lo, patch, gslab in ((True, lo_p, gm[:1]), (False, hi_p, gm[-1:])):
+        for is_lo, patch, gslab, inv_b in ((True, lo_p, gm[:1], inv_lo),
+                                           (False, hi_p, gm[-1:], inv_hi)):
             idx = slice(0, 1) if is_lo else slice(-1, None)
             if patch.kind == _bc.FIXED_VALUE:
-                c = gslab * two_over_d
+                c = gslab * area_m * inv_b
                 dm = dm.at[idx].add(-c)
                 rm = rm.at[idx].add(-c * patch.value_at(t))
             elif patch.kind == _bc.CYCLIC:
-                c = gslab * area[a] / spacing[a]
+                c = gslab * area_m * inv_cyc
                 dm = dm.at[idx].add(-c)
             elif patch.kind == _bc.INLET_OUTLET:
                 if phi is None:
                     continue  # zeroGradient fallback (no flux context)
                 pslab = ops._mv(phi[a], a)[idx]
                 outflow = (pslab < 0) if is_lo else (pslab > 0)
-                c = jnp.where(outflow, 0.0, gslab * two_over_d)
+                c = jnp.where(outflow, 0.0, gslab * area_m * inv_b)
                 dm = dm.at[idx].add(-c)
                 rm = rm.at[idx].add(-c * patch.value_at(t))
             # zeroGradient/empty/slip: zero flux, nothing to add
@@ -315,4 +331,5 @@ def laplacian_flux(gamma_face, x, grid: Grid, fbc: _bc.FieldBC,
     if not isinstance(gamma_face, FaceField):
         gamma_face = FaceField(gamma_face, gamma_face, gamma_face)
     area = grid.face_area
-    return FaceField(*(gamma_face[a] * g[a] * area[a] for a in range(3)))
+    return FaceField(*(gamma_face[a] * g[a] * ops._const(area[a], g[a])
+                       for a in range(3)))

@@ -44,9 +44,13 @@ def _dtype_tol_floor(dtype) -> float:
 
 
 def _safe_ratio(num, den):
-    """num/den with a hard guard against denormal/zero denominators that
-    would otherwise blow up at round-off stagnation (0*inf -> NaN)."""
-    bad = jnp.abs(den) < 1e-290
+    """num/den with a hard guard against denominators that would overflow
+    or NaN the ratio at round-off stagnation. The guard must be scaled to
+    the dtype: a fixed 1e-290 cutoff lets f32 denormals (>=1.4e-45)
+    through, and num/denormal -> inf -> NaN downstream (seen in f32
+    kEqn/epsilon solves whose RHS sits at the 1e-15 scale)."""
+    fi = jnp.finfo(jnp.result_type(den))
+    bad = jnp.abs(den) < jnp.abs(num) * (4.0 / fi.max) + fi.tiny
     return jnp.where(bad, 0.0, num / jnp.where(bad, 1.0, den))
 
 

@@ -32,6 +32,18 @@ SMALL = 1e-15
 ROOTVSMALL = 1e-18
 
 
+import numpy as np
+
+
+def _const(x, like):
+    """Cast a numpy geometry constant to the field dtype (graded grids
+    carry np.float64 volume/area/distance arrays; mixing them with f32
+    fields under enable_x64 would silently promote everything to f64)."""
+    if isinstance(x, np.ndarray):
+        return jnp.asarray(x, like.dtype)
+    return x
+
+
 def _mv(a, axis):
     return jnp.moveaxis(a, axis, 0)
 
@@ -79,9 +91,16 @@ def _boundary_face_value(cell_slab, patch: _bc.PatchBC, lo: bool,
 
 
 def _boundary_sngrad(cell_slab, patch: _bc.PatchBC, lo: bool, d: float,
-                     other_slab=None, phi_slab=None, t=0.0):
-    """d(field)/d(axis) on a boundary face, along the +axis direction."""
+                     other_slab=None, phi_slab=None, t=0.0,
+                     d_cyc: Optional[float] = None):
+    """d(field)/d(axis) on a boundary face, along the +axis direction.
+
+    d: adjacent-cell width (boundary delta = d/2); d_cyc: center-to-center
+    distance across the cyclic seam (defaults to d on uniform axes).
+    """
     k = patch.kind
+    if d_cyc is None:
+        d_cyc = d
     if k == _bc.FIXED_VALUE:
         v = jnp.zeros_like(cell_slab) + patch.value_at(t)
         # delta coeff at a boundary face is 1/(d/2), signed along +axis
@@ -89,8 +108,9 @@ def _boundary_sngrad(cell_slab, patch: _bc.PatchBC, lo: bool, d: float,
     if k in (_bc.ZERO_GRADIENT, _bc.EMPTY, _bc.SLIP):
         return jnp.zeros_like(cell_slab)
     if k == _bc.CYCLIC:
-        # wrap: gradient between last and first cell, spacing d
-        return ((cell_slab - other_slab) / d) if lo else ((other_slab - cell_slab) / d)
+        # wrap: gradient between last and first cell across the seam
+        return ((cell_slab - other_slab) / d_cyc) if lo \
+            else ((other_slab - cell_slab) / d_cyc)
     if k == _bc.INLET_OUTLET:
         if phi_slab is None:
             return jnp.zeros_like(cell_slab)
@@ -101,26 +121,42 @@ def _boundary_sngrad(cell_slab, patch: _bc.PatchBC, lo: bool, d: float,
     raise ValueError(f"unknown BC kind {k}")
 
 
+def _axis_geom(grid: Grid, axis: int, dtype):
+    """(w_lin (n-1,1,1) owner weights, inv_d (n-1,1,1) internal inverse
+    deltas, d_lo, d_hi, d_cyc) for one axis; scalars on uniform axes."""
+    if grid.uniform:
+        d = grid.spacing[axis]
+        return 0.5, 1.0 / d, d, d, d
+    w = grid.axis_widths(axis)
+    dists = grid.axis_dists(axis)
+    wl = jnp.asarray(grid.axis_weights(axis), dtype)[:, None, None]
+    inv_d = jnp.asarray(1.0 / dists[1:-1], dtype)[:, None, None]
+    d_cyc = 0.5 * (w[0] + w[-1])
+    return wl, inv_d, float(w[0]), float(w[-1]), float(d_cyc)
+
+
 def _axis_faces(c, axis: int, grid: Grid, fbc: _bc.FieldBC,
                 phi: Optional[FaceField], mode: str, t=0.0):
     """Face values ('interp') or face +axis-gradients ('sngrad') along axis."""
-    d = grid.spacing[axis]
     cm = _mv(c, axis)
     lo_patch, hi_patch = fbc.axis(axis)
     phi_ax = None if phi is None else _mv(phi[axis], axis)
+    w_lin, inv_d, d_lo, d_hi, d_cyc = _axis_geom(grid, axis, cm.dtype)
 
     if mode == "interp":
-        inner = 0.5 * (cm[:-1] + cm[1:])
+        inner = w_lin * cm[:-1] + (1.0 - w_lin) * cm[1:]
         lo = _boundary_face_value(cm[:1], lo_patch, True, cm[-1:],
                                   None if phi_ax is None else phi_ax[:1], t)
         hi = _boundary_face_value(cm[-1:], hi_patch, False, cm[:1],
                                   None if phi_ax is None else phi_ax[-1:], t)
     else:
-        inner = (cm[1:] - cm[:-1]) / d
-        lo = _boundary_sngrad(cm[:1], lo_patch, True, d, cm[-1:],
-                              None if phi_ax is None else phi_ax[:1], t)
-        hi = _boundary_sngrad(cm[-1:], hi_patch, False, d, cm[:1],
-                              None if phi_ax is None else phi_ax[-1:], t)
+        inner = (cm[1:] - cm[:-1]) * inv_d
+        lo = _boundary_sngrad(cm[:1], lo_patch, True, d_lo, cm[-1:],
+                              None if phi_ax is None else phi_ax[:1], t,
+                              d_cyc=d_cyc)
+        hi = _boundary_sngrad(cm[-1:], hi_patch, False, d_hi, cm[:1],
+                              None if phi_ax is None else phi_ax[-1:], t,
+                              d_cyc=d_cyc)
     return _mvback(jnp.concatenate([lo, inner, hi], axis=0), axis)
 
 
@@ -147,13 +183,13 @@ def _face_diff(fa, axis):
 def div_flux(phi: FaceField, grid: Grid):
     """fvc::div(phi) for a face flux phi [m^3/s] -> cells [1/s]."""
     out = sum(_face_diff(phi[a], a) for a in range(3))
-    return out / grid.cell_volume
+    return out / _const(grid.cell_volume, out)
 
 
 def div_flux_field(phi: FaceField, fv: FaceField, grid: Grid):
     """fvc::div(phi, psi) given precomputed face values of psi."""
     out = sum(_face_diff(phi[a] * fv[a], a) for a in range(3))
-    return out / grid.cell_volume
+    return out / _const(grid.cell_volume, out)
 
 
 def grad(c, grid: Grid, fbc: _bc.FieldBC, phi: Optional[FaceField] = None,
@@ -161,7 +197,7 @@ def grad(c, grid: Grid, fbc: _bc.FieldBC, phi: Optional[FaceField] = None,
     """Gauss-linear cell gradient of a scalar -> (3, nx, ny, nz)."""
     fv = face_interp(c, grid, fbc, phi, t)
     area = grid.face_area
-    comps = [_face_diff(fv[a], a) * (area[a] / grid.cell_volume)
+    comps = [_face_diff(fv[a], a) * _const(area[a] / grid.cell_volume, c)
              for a in range(3)]
     return jnp.stack(comps)
 
@@ -193,8 +229,9 @@ def laplacian(gamma_face, c, grid: Grid, fbc: _bc.FieldBC,
     if not isinstance(gamma_face, FaceField):
         gamma_face = FaceField(gamma_face, gamma_face, gamma_face)
     area = grid.face_area
-    out = sum(_face_diff(gamma_face[a] * g[a], a) * area[a] for a in range(3))
-    return out / grid.cell_volume
+    out = sum(_face_diff(gamma_face[a] * g[a], a) * _const(area[a], c)
+              for a in range(3))
+    return out / _const(grid.cell_volume, c)
 
 
 def flux_of(v, grid: Grid, vbc: _bc.FieldBC,
@@ -203,7 +240,7 @@ def flux_of(v, grid: Grid, vbc: _bc.FieldBC,
     area = grid.face_area
     return FaceField(*(
         _axis_faces(v[a], a, grid, vbc.component(a), phi, "interp", t)
-        * area[a]
+        * _const(area[a], v)
         for a in range(3)
     ))
 
@@ -246,15 +283,15 @@ def _limited_weights_axis(c, gradc, axis, grid, fbc, phi, k):
     Returns full (n+1,...) face array; boundary faces get weight 1 (unused —
     boundary convection is handled by the BC coefficient path).
     """
-    d = grid.spacing[axis]
     cm = _mv(c, axis)
     gm = _mv(gradc[axis], axis)  # d c/d x_axis at cells
     phim = _mv(phi[axis], axis)[1:-1]  # internal faces
+    w_lin, inv_d, _, _, _ = _axis_geom(grid, axis, cm.dtype)
 
     phiP, phiN = cm[:-1], cm[1:]  # owner (lower), neighbor (upper)
     gradf = phiN - phiP
-    # d is owner->neighbor = +axis * spacing; upwind cell by flux sign
-    gradcf = d * jnp.where(phim > 0, gm[:-1], gm[1:])
+    # d is owner->neighbor = +axis * center distance; upwind by flux sign
+    gradcf = jnp.where(phim > 0, gm[:-1], gm[1:]) / inv_d
 
     big = jnp.abs(gradcf) >= 1000.0 * jnp.abs(gradf)
     r = jnp.where(
@@ -264,7 +301,7 @@ def _limited_weights_axis(c, gradc, axis, grid, fbc, phi, k):
     )
     limiter = jnp.clip((2.0 / k) * r, 0.0, 1.0)
     w_up = jnp.where(phim >= 0, 1.0, 0.0)
-    w = limiter * 0.5 + (1.0 - limiter) * w_up
+    w = limiter * w_lin + (1.0 - limiter) * w_up
 
     pad = jnp.ones_like(cm[:1])
     return _mvback(jnp.concatenate([pad, w, pad], axis=0), axis)

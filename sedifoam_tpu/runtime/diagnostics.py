@@ -28,16 +28,23 @@ def compute(state: SimState, grid: Grid, cfg: FluidConfig
     V = grid.cell_volume
     dt = cfg.dt
 
-    # Courant number: max(|phi|/A * dt / d)
+    # Courant number: max over faces of |phi|/A * dt / d (facewise so
+    # graded axes use their local spacing)
     co = 0.0
     co_r = 0.0
-    spacing = grid.spacing
     area = grid.face_area
     for a in range(3):
-        co = jnp.maximum(co, jnp.max(jnp.abs(fs.phib[a])) / area[a]
-                         * dt / spacing[a])
+        if grid.uniform:
+            inv_ad = 1.0 / (area[a] * grid.spacing[a])
+        else:
+            import numpy as np
+            d = grid.axis_dists(a)
+            shape = [1, 1, 1]
+            shape[a] = len(d)
+            inv_ad = 1.0 / (area[a] * d.reshape(shape))
+        co = jnp.maximum(co, jnp.max(jnp.abs(fs.phib[a]) * inv_ad) * dt)
         rel = jnp.abs(fs.phia[a] - fs.phib[a])
-        co_r = jnp.maximum(co_r, jnp.max(rel) / area[a] * dt / spacing[a])
+        co_r = jnp.maximum(co_r, jnp.max(rel * inv_ad) * dt)
 
     # particle->fluid momentum source total (Ftotal2 analogue)
     one_minus = 1.0 - fs.alpha
@@ -45,7 +52,7 @@ def compute(state: SimState, grid: Grid, cfg: FluidConfig
                          for c in range(3)])
 
     # dispersed-phase stats
-    alpha_mean = jnp.sum(fs.alpha * V) / (grid.n_cells * V)
+    alpha_mean = jnp.sum(fs.alpha * V) / grid.total_volume
 
     # solid momentum total (Utotal2 analogue)
     u_solid = jnp.stack([jnp.sum(fs.Ua[c] * V * fs.alpha) for c in range(3)])

@@ -20,9 +20,11 @@ class Probes:
     def __init__(self, grid: Grid, locations: Sequence[Tuple[float, ...]]):
         self.grid = grid
         pts = np.asarray(locations, np.float64)
-        ijk = np.clip(((pts - np.array([grid.x0, grid.y0, grid.z0]))
-                       / np.array(grid.spacing)).astype(int),
-                      0, np.array([grid.nx - 1, grid.ny - 1, grid.nz - 1]))
+        ijk = np.stack([
+            np.clip(np.searchsorted(grid.axis_faces(a), pts[:, a],
+                                    side="right") - 1,
+                    0, grid.shape[a] - 1)
+            for a in range(3)], axis=-1)
         cells = (ijk[:, 0] * grid.ny + ijk[:, 1]) * grid.nz + ijk[:, 2]
         self.cells = jnp.asarray(cells)
         # ONE jitted extraction for all fields (eager gathers are compile

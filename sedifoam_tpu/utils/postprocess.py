@@ -32,10 +32,10 @@ def line_sample(field, grid: Grid, start, end, n: int = 100):
     """Sample a field along a straight line (nearest-cell)."""
     f = np.asarray(field)
     pts = np.linspace(np.asarray(start, float), np.asarray(end, float), n)
-    lo = np.array([grid.x0, grid.y0, grid.z0])
-    d = np.array([grid.dx, grid.dy, grid.dz])
-    ijk = np.clip(((pts - lo) / d).astype(int), 0,
-                  np.array([grid.nx - 1, grid.ny - 1, grid.nz - 1]))
+    ijk = np.stack([
+        np.clip(np.searchsorted(grid.axis_faces(a), pts[:, a],
+                                side="right") - 1, 0, grid.shape[a] - 1)
+        for a in range(3)], axis=-1)
     vals = f[..., ijk[:, 0], ijk[:, 1], ijk[:, 2]]
     return pts, np.moveaxis(vals, -1, 0) if vals.ndim > 1 else vals
 
