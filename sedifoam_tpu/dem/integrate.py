@@ -85,15 +85,26 @@ def compute_forces(state: ParticleState, cfg: DEMConfig,
             0.5 * state.mass[:, None] * (state.dudt - acc))
     v_old = state.vel
 
-    f_cohe = cohesion_forces(state, cfg.cohesion, periodic_len=plen)
+    if cfg.backend == "binned":
+        from sedifoam_tpu.dem.cohesion import cohesion_forces_binned
+        f_cohe = cohesion_forces_binned(state, cfg.cohesion, state.nbr_idx,
+                                        periodic_len=plen)
+    else:
+        f_cohe = cohesion_forces(state, cfg.cohesion, periodic_len=plen)
 
     force = f_pair + f_wall + f_grav + f_drag + f_cohe
     torque = tq_pair + tq_wall
 
     if cfg.lubrication is not None:
-        from sedifoam_tpu.dem.lubrication import lubrication_forces
-        f_lub, tq_lub = lubrication_forces(state, cfg.lubrication,
-                                           periodic_len=plen)
+        if cfg.backend == "binned":
+            from sedifoam_tpu.dem.lubrication import (
+                lubrication_forces_binned)
+            f_lub, tq_lub = lubrication_forces_binned(
+                state, cfg.lubrication, state.nbr_idx, periodic_len=plen)
+        else:
+            from sedifoam_tpu.dem.lubrication import lubrication_forces
+            f_lub, tq_lub = lubrication_forces(state, cfg.lubrication,
+                                               periodic_len=plen)
         force = force + f_lub
         torque = torque + tq_lub
 

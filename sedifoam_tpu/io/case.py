@@ -410,12 +410,19 @@ def load_case(case_dir: str, capacity: Optional[int] = None,
     if lub is not None:
         lub = dataclasses.replace(lub, box_volume=float(
             (box[1] - box[0]) * (box[3] - box[2]) * (box[5] - box[4])))
+    # the binned neighbor table is shared by contact, cohesion, and
+    # lubrication: its cutoff must cover the widest interaction ring
+    cutoff = 1.6 * d_max
+    if lmp.cohesion is not None:
+        cutoff = max(cutoff, d_max + lmp.cohesion.smax + 0.3 * d_max)
+    if lub is not None:
+        cutoff = max(cutoff, lub.cut + 0.3 * d_max)
     dem_cfg = DEMConfig(
         dt=dt_dem, pair=lmp.pair, walls=lmp.walls, gravity=lmp.gravity,
         carrier_rho=lmp.carrier_rho, cohesion=lmp.cohesion,
         lubrication=lub,
         backend=backend, nbr_k=neighbor_k, max_per_bin=10,
-        cutoff=1.6 * d_max, skin=0.3 * d_max,
+        cutoff=cutoff, skin=0.3 * d_max,
         domain_lo=(box[0], box[2], box[4]),
         domain_hi=(box[1], box[3], box[5]),
         periodic=lmp.periodic,
