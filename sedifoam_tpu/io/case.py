@@ -389,9 +389,31 @@ def load_case(case_dir: str, capacity: Optional[int] = None,
             period=foamdict.dimensioned_value(transport["varyingPeriod"]),
             varying_type=str(transport.get("varyingType", "sinusoidal")))
 
+    # IBM relaxation zone + DNS spectral forcing switches
+    # (createIBMForce.H:1-21, createTurbulence.H:29-49: both read from
+    # transportProperties; the UOprocess coefficients use OpenFOAM's
+    # standard UO* keys)
+    def _switch(key):
+        v = lod(transport, key, False)
+        return str(v).lower() in ("on", "true", "yes", "1")
+
+    add_ibm = _switch("addIBMForce")
+    add_dns = _switch("addDNSForce")
+    ibm_relax = float(foamdict.dimensioned_value(
+        transport["ibmRelaxTime"])) if "ibmRelaxTime" in transport else 0.0
+
     fluid_cfg = FluidConfig(
         dt=controls.dt,
         forcing=forcing,
+        add_ibm_force=add_ibm,
+        ibm_relax_time=ibm_relax,
+        add_dns_force=add_dns,
+        dns_alpha=foamdict.dimensioned_value(lod(transport, "UOalpha", 1.0)),
+        dns_sigma=foamdict.dimensioned_value(lod(transport, "UOsigma", 0.1)),
+        dns_k_upper=foamdict.dimensioned_value(
+            lod(transport, "UOKupper", 1e9)),
+        dns_k_lower=foamdict.dimensioned_value(
+            lod(transport, "UOKlower", 0.0)),
         rhob=foamdict.dimensioned_value(transport["rhob"]),
         nub=foamdict.dimensioned_value(transport["nub"]),
         rhoa=foamdict.dimensioned_value(transport.get("rhoa", 2000.0)),
@@ -476,6 +498,27 @@ def load_case(case_dir: str, capacity: Optional[int] = None,
                        alpha=uniform_field(alpha0),
                        Ub=uniform_field(Ub0, vec=True),
                        p=uniform_field(p0), dtype=dtype)
+
+    # IBM indicator field (createIBMForce.H:25-53 reads 0/ibmIndicator);
+    # uniform or nonuniform List<scalar> internal fields supported
+    if add_ibm:
+        ind_file = os.path.join(zero_d, "ibmIndicator")
+        if os.path.exists(ind_file):
+            d_ind = foamdict.parse_file(ind_file)
+            entry = d_ind.get("internalField", 0.0)
+            if isinstance(entry, list) and "nonuniform" in entry:
+                # ["nonuniform", "List<scalar>", N, [v0, v1, ...]] in
+                # OpenFOAM blockMesh cell order (x fastest: i + j*nx +
+                # k*nx*ny) -> our (i, j, k) layout
+                inner = next(e for e in entry if isinstance(e, list))
+                vals = np.asarray(inner, float)
+                ind = jnp.asarray(
+                    vals.reshape(grid.nz, grid.ny, grid.nx
+                                 ).transpose(2, 1, 0), dtype)
+            else:
+                ind = jnp.full(grid.shape,
+                               float(foamdict.uniform_value(entry)), dtype)
+            fluid = fluid._replace(ibm_indicator=ind)
 
     # particles from the LAMMPS data file
     n = len(lmp.pos)

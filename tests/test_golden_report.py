@@ -1,0 +1,49 @@
+"""CI gate over the full auto-testing battery report.
+
+scripts/run_all_cases.py (the Allrun.sh analogue) runs all 7 reference
+auto-testing cases end to end and records per-case metrics + verdicts in
+results/report.json. This test enforces that the committed report covers
+all 7 and that every one passed its tolerance — the same role as the
+reference's test-report-generation harness, but machine-checked.
+
+xiaocase3 + multiParticlesCollide additionally run live in CI
+(test_golden_xiaocase3.py / test_golden_collide.py); the long TPU runs
+(xiaocase1 30 s, Mueller 10 s, Wachem 3 s) are enforced through the
+recorded report.
+"""
+
+import json
+import os
+
+import pytest
+
+REPORT = os.path.join(os.path.dirname(__file__), "..", "results",
+                      "report.json")
+
+EXPECTED = {"xiaocase3", "multiParticlesCollide", "xiaocase1",
+            "expMueller06", "expMueller09", "expWachem_PCM"}
+
+
+@pytest.fixture(scope="module")
+def report():
+    if not os.path.exists(REPORT):
+        pytest.fail("results/report.json missing — run "
+                    "scripts/run_all_cases.py (the Allrun.sh analogue) "
+                    "to produce the full-battery validation report")
+    with open(REPORT) as f:
+        return json.load(f)
+
+
+def test_report_covers_all_cases(report):
+    assert not report.get("quick"), \
+        "report.json was produced by a --quick smoke run; rerun full-length"
+    assert EXPECTED.issubset(report["cases"].keys()), \
+        sorted(EXPECTED - report["cases"].keys())
+
+
+@pytest.mark.parametrize("case", sorted(EXPECTED))
+def test_case_passed(report, case):
+    entry = report["cases"].get(case)
+    assert entry is not None, f"{case} missing from report"
+    assert entry["passed"], {k: v for k, v in entry.items()
+                             if k != "tail"}

@@ -46,6 +46,34 @@ def test_sharded_step_matches_single_device():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_binned_step_matches_single_device():
+    """The binned neighbor-table backend (the production layout) under
+    the 8-device mesh reproduces the single-device result."""
+    cfg, state = ge._tiny_case(nx=16, ny=8, nz=8, n_particles=256,
+                               sub_steps=2, backend="binned",
+                               dtype=jnp.float64)
+    step = jax.jit(lambda s: coupled_step(s, cfg))
+    ref = step(state)
+
+    mesh = make_mesh(8)
+    sharded = shard_state(state, mesh)
+    assert len(sharded.particles.pos.sharding.device_set) == 8
+    out = step(sharded)
+
+    np.testing.assert_allclose(np.asarray(out.fluid.p),
+                               np.asarray(ref.fluid.p),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(out.particles.pos),
+                               np.asarray(ref.particles.pos),
+                               rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(out.particles.vel),
+                               np.asarray(ref.particles.vel),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(out.particles.nbr_idx),
+                               np.asarray(ref.particles.nbr_idx))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 def test_sharded_multi_step_stays_finite():
     cfg, state = ge._tiny_case(nx=8, ny=8, nz=4, n_particles=16,
                                sub_steps=2, dtype=jnp.float64)
