@@ -176,6 +176,11 @@ class TurbulenceConfig:
     # Smagorinsky
     Ck: float = 0.094
     Ce: float = 1.048
+    # high-Re wall functions on no-slip patches (OpenFOAM's
+    # nutkWallFunction / epsilonWallFunction analogues)
+    wall_functions: bool = True
+    kappa: float = 0.41
+    E_wall: float = 9.8
 
 
 # ---------------------------------------------------------------------------

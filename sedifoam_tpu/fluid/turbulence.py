@@ -80,7 +80,7 @@ def correct(fs: FluidState, grid: Grid, bcs: FluidBCs, cfg: FluidConfig
                   + linop.div(fs.phib, k, grid, kbc, w_up)
                   - linop.laplacian(nu_k_f, grid, kbc)
                   + linop.Sp(t.Ce * jnp.sqrt(k) / delta, grid)
-                  - linop.source(G, grid))
+                  + linop.source(G, grid))  # production on the RHS
         sol = linsolve.bicgstab(term_k.apply, term_k.rhs, k, term_k.diag,
                                 tol=1e-8, max_iter=500)
         k_new = jnp.maximum(sol.x, 1e-12)
@@ -92,9 +92,33 @@ def correct(fs: FluidState, grid: Grid, bcs: FluidBCs, cfg: FluidConfig
     raise ValueError(f"unknown turbulence model {t.model}")
 
 
+def _wall_layers(grid: Grid, bcs: FluidBCs):
+    """(mask (nx,ny,nz), y_half (nx,ny,nz)) of cells adjacent to no-slip
+    (fixedValue Ub) patches, with their wall distance (half cell width)."""
+    import numpy as np
+    mask = np.zeros(grid.shape, bool)
+    yh = np.ones(grid.shape)
+    for a in range(3):
+        lo_p, hi_p = bcs.Ub.axis(a)
+        w = grid.axis_widths(a)
+        for is_lo, patch in ((True, lo_p), (False, hi_p)):
+            if patch.kind != _bc.FIXED_VALUE:
+                continue
+            sl = [slice(None)] * 3
+            sl[a] = slice(0, 1) if is_lo else slice(-1, None)
+            mask[tuple(sl)] = True
+            yh[tuple(sl)] = 0.5 * (w[0] if is_lo else w[-1])
+    return mask, yh
+
+
 def _k_epsilon(fs: FluidState, grid: Grid, bcs: FluidBCs, cfg: FluidConfig
                ) -> FluidState:
-    """Standard incompressible kEpsilon with upwind convection."""
+    """Standard incompressible kEpsilon with upwind convection and
+    (optionally) high-Re wall functions on no-slip patches:
+    nutkWallFunction nut_w = nu*(y+ kappa/ln(E y+) - 1),
+    epsilonWallFunction eps_w = Cmu^3/4 k^3/2/(kappa y),
+    wall-cell production G_w = (nut_w+nu)*|Up|/y * Cmu^1/4 sqrt(k)/(kappa y).
+    """
     t = cfg.turbulence
     dt = cfg.dt
     kbc = _bc.zero_gradient()
@@ -107,6 +131,27 @@ def _k_epsilon(fs: FluidState, grid: Grid, bcs: FluidBCs, cfg: FluidConfig
     S2 = _strain_rate_sq(fs.Ub, grid, bcs.Ub)
     G = nut * S2
 
+    wall = None
+    if t.wall_functions:
+        import numpy as np
+        wall_np, yh_np = _wall_layers(grid, bcs)
+        if wall_np.any():
+            wall = jnp.asarray(wall_np)
+            y = jnp.asarray(yh_np, k.dtype)
+            cmu14 = t.Cmu ** 0.25
+            u_tau_k = cmu14 * jnp.sqrt(k)
+            yplus = u_tau_k * y / cfg.nub
+            yplus_lam = 11.53
+            nut_w = cfg.nub * jnp.maximum(
+                yplus * t.kappa / jnp.log(jnp.maximum(t.E_wall * yplus,
+                                                      1.001)) - 1.0, 0.0)
+            nut_w = jnp.where(yplus > yplus_lam, nut_w, 0.0)
+            mag_up = jnp.sqrt(sum(fs.Ub[c] ** 2 for c in range(3)))
+            G_w = (nut_w + cfg.nub) * mag_up / y * u_tau_k / (t.kappa * y)
+            eps_w = t.Cmu ** 0.75 * k ** 1.5 / (t.kappa * y)
+            G = jnp.where(wall, G_w, G)
+            eps = jnp.where(wall, eps_w, eps)
+
     phi = fs.phib
     w_up = FaceField(*(jnp.where(p >= 0, 1.0, 0.0) for p in phi))
 
@@ -116,10 +161,13 @@ def _k_epsilon(fs: FluidState, grid: Grid, bcs: FluidBCs, cfg: FluidConfig
               + linop.div(phi, eps, grid, ebc, w_up)
               - linop.laplacian(nu_eps_f, grid, ebc)
               + linop.Sp(t.C2 * eps / k, grid)
-              - linop.source(t.C1 * G * eps / k, grid))
+              + linop.source(t.C1 * G * eps / k, grid))  # production RHS
     sol_e = linsolve.bicgstab(term_e.apply, term_e.rhs, eps, term_e.diag,
                               tol=1e-8, max_iter=500)
     eps_new = jnp.maximum(sol_e.x, 1e-12)
+    if wall is not None:
+        # epsilonWallFunction pins the wall-cell value
+        eps_new = jnp.where(wall, eps, eps_new)
 
     # k equation
     nu_k_f = ops.face_interp(cfg.nub + nut / t.sigma_k, grid, kbc)
@@ -127,10 +175,19 @@ def _k_epsilon(fs: FluidState, grid: Grid, bcs: FluidBCs, cfg: FluidConfig
               + linop.div(phi, k, grid, kbc, w_up)
               - linop.laplacian(nu_k_f, grid, kbc)
               + linop.Sp(eps_new / k, grid)
-              - linop.source(G, grid))
+              + linop.source(G, grid))  # production on the RHS
     sol_k = linsolve.bicgstab(term_k.apply, term_k.rhs, k, term_k.diag,
                               tol=1e-8, max_iter=500)
     k_new = jnp.maximum(sol_k.x, 1e-12)
 
     nut_new = t.Cmu * k_new ** 2 / eps_new
+    if wall is not None:
+        # nutkWallFunction overrides the wall-cell eddy viscosity
+        cmu14 = t.Cmu ** 0.25
+        yplus = cmu14 * jnp.sqrt(k_new) * y / cfg.nub
+        nut_w = cfg.nub * jnp.maximum(
+            yplus * t.kappa / jnp.log(jnp.maximum(t.E_wall * yplus,
+                                                  1.001)) - 1.0, 0.0)
+        nut_w = jnp.where(yplus > 11.53, nut_w, 0.0)
+        nut_new = jnp.where(wall, nut_w, nut_new)
     return fs._replace(k=k_new, epsilon=eps_new, nut=nut_new)
