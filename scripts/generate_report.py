@@ -1,0 +1,145 @@
+"""Validation report generator — the analogue of the reference's
+test-report-generation harness (cases/auto-testing/test-report-generation/
+essential/generate.sh + per-case plot scripts singleParticle.py,
+multiParticle.py, pressureDrop.py, expMueller.py), emitting a markdown
+report with embedded plots instead of a LaTeX/PDF build.
+
+Consumes results/report.json + the curve artifacts written by
+scripts/run_all_cases.py, plots each case against its benchmark data,
+and writes results/report.md + results/plots/*.png.
+
+  python scripts/generate_report.py [--results results/]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import matplotlib
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+import numpy as np  # noqa: E402
+
+REF = "/root/reference/cases/auto-testing/test-cases"
+
+
+def plot_xiaocase1(results, plots, lines):
+    f = os.path.join(results, "xiaocase1_dp_curve.npz")
+    if not os.path.exists(f):
+        return
+    d = np.load(f)
+    bench = np.loadtxt(os.path.join(REF, "xiaocase1", "data", "p_bench.dat"))
+    plt.figure(figsize=(7, 4))
+    plt.plot(d["times"], d["dp"], "r-", lw=1.5, label="sedifoam-tpu")
+    plt.plot(bench[:, 0], bench[:, 1], "k--", lw=1.5, label="benchmark")
+    plt.xlabel("t [s]")
+    plt.ylabel("probe pressure drop [Pa]")
+    plt.title("xiaocase1: fluidized-pipe pressure drop (Xiao & Sun 2011)")
+    plt.legend()
+    out = os.path.join(plots, "xiaocase1_dp.png")
+    plt.savefig(out, dpi=110, bbox_inches="tight")
+    plt.close()
+    lines.append("![xiaocase1](plots/xiaocase1_dp.png)\n")
+
+
+def plot_mueller(case, results, plots, lines):
+    f = os.path.join(results, f"{case}_profiles.npz")
+    if not os.path.exists(f):
+        return
+    d = np.load(f)
+    names = [k for k in d.files]
+    plt.figure(figsize=(7, 4))
+    colors = ["r", "b", "g", "m"]
+    for i, name in enumerate(sorted(names)):
+        prof = d[name]  # columns: x, ux, uy, uz
+        plt.plot(prof[:, 0] * 1e3, prof[:, 2], colors[i % 4] + "-",
+                 lw=1.5, label=f"{name} (ours)")
+        bench_f = os.path.join(REF, case, "data", "sets_bench",
+                               f"{name}_UaMean.xy")
+        if os.path.exists(bench_f):
+            b = np.loadtxt(bench_f)
+            plt.plot(b[:, 0] * 1e3, b[:, 2], colors[i % 4] + "--", lw=1.0,
+                     label=f"{name} (bench)")
+    exp_f = os.path.join(REF, case, "data", "experimentData")
+    if os.path.exists(exp_f):
+        try:
+            e = np.loadtxt(exp_f)
+            plt.plot(e[:, 0] * 1e3, e[:, 1], "ko", ms=4, label="experiment")
+        except Exception:
+            pass
+    plt.xlabel("x [mm]")
+    plt.ylabel("UaMean_y [m/s]")
+    plt.title(f"{case}: time-averaged solid velocity profiles "
+              "(Mueller et al. bubbling bed)")
+    plt.legend(fontsize=7)
+    out = os.path.join(plots, f"{case}_profiles.png")
+    plt.savefig(out, dpi=110, bbox_inches="tight")
+    plt.close()
+    lines.append(f"![{case}](plots/{case}_profiles.png)\n")
+
+
+def plot_wachem(results, plots, lines):
+    f = os.path.join(results, "expWachem_PCM_probes.npz")
+    if not os.path.exists(f):
+        return
+    d = np.load(f)
+    p = d["p"]
+    dp = d["dp"] if "dp" in d.files else p[:, 0] - p[:, -1]
+    plt.figure(figsize=(7, 4))
+    plt.plot(d["times"], p[:, 0], "r-", lw=1, label="local pressure")
+    plt.plot(d["times"], dp, "k.", ms=2, label="relative pressure")
+    plt.xlabel("t [s]")
+    plt.ylabel("p [Pa]")
+    plt.title("expWachem_PCM: bed pressure signal (van Wachem)")
+    plt.legend()
+    out = os.path.join(plots, "expWachem_pressure.png")
+    plt.savefig(out, dpi=110, bbox_inches="tight")
+    plt.close()
+    lines.append("![expWachem](plots/expWachem_pressure.png)\n")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--results", default=os.path.join(
+        os.path.dirname(__file__), "..", "results"))
+    args = ap.parse_args()
+    results = os.path.abspath(args.results)
+    plots = os.path.join(results, "plots")
+    os.makedirs(plots, exist_ok=True)
+
+    report_f = os.path.join(results, "report.json")
+    report = {}
+    if os.path.exists(report_f):
+        with open(report_f) as fh:
+            report = json.load(fh)
+
+    lines = ["# sedifoam-tpu validation report\n",
+             "Auto-testing battery (the reference's "
+             "`cases/auto-testing` suite) — see `report.json` "
+             "for raw metrics.\n"]
+    if report.get("cases"):
+        lines.append("| case | verdict | key metrics |")
+        lines.append("|---|---|---|")
+        for name, entry in report["cases"].items():
+            metrics = {k: round(v, 4) for k, v in entry.items()
+                       if isinstance(v, float) and k not in ("wall_s",)}
+            verdict = "PASS" if entry.get("passed") else "FAIL"
+            lines.append(f"| {name} | {verdict} | `{metrics}` |")
+        lines.append("")
+
+    plot_xiaocase1(results, plots, lines)
+    plot_mueller("expMueller06", results, plots, lines)
+    plot_mueller("expMueller09", results, plots, lines)
+    plot_wachem(results, plots, lines)
+
+    out = os.path.join(results, "report.md")
+    with open(out, "w") as fh:
+        fh.write("\n".join(lines))
+    print(f"wrote {out} + plots/")
+
+
+if __name__ == "__main__":
+    main()

@@ -107,6 +107,10 @@ class DEMConfig:
     # group, e.g. the frozen bed of transport-bedload/in.lammps): their
     # total force/torque is zeroed after all force fixes, LAMMPS-style
     frozen_types: Tuple[int, ...] = ()
+    # physically re-sort the SoA by bin at every rebuild (binned backend):
+    # partner gathers then read a local HBM window instead of thrashing
+    # the whole particle set. Particle identity is the tag, not the row.
+    sort_on_rebuild: bool = True
 
     def periodic_len(self) -> Tuple[Optional[float], ...]:
         """Domain length per axis for periodic axes, None elsewhere."""

@@ -31,13 +31,20 @@ def maybe_rebuild_neighbors(state: ParticleState, cfg: DEMConfig,
     """Verlet-skin rebuild check (binned backend only)."""
     if cfg.backend != "binned":
         return state
-    from sedifoam_tpu.dem.neighbor import carry_over_shear, make_binner
+    from sedifoam_tpu.dem.neighbor import (carry_over_shear, make_binner,
+                                           make_sort_order,
+                                           permute_particle_state)
 
     rebuild_fn = make_binner(cfg.domain_lo, cfg.domain_hi, cfg.cutoff,
                              cfg.nbr_k, cfg.max_per_bin,
                              periodic=cfg.periodic)
+    sort_fn = make_sort_order(cfg.domain_lo, cfg.domain_hi, cfg.cutoff,
+                              periodic=cfg.periodic) \
+        if cfg.sort_on_rebuild else None
 
     def do_rebuild(st: ParticleState) -> ParticleState:
+        if sort_fn is not None:
+            st = permute_particle_state(st, sort_fn(st.pos, st.active))
         idx = rebuild_fn(st.pos, st.active)
         shear = carry_over_shear(st.nbr_idx, idx, st.shear)
         return st._replace(nbr_idx=idx, shear=shear, pos_at_build=st.pos)

@@ -126,6 +126,77 @@ def make_binner(lo: Tuple[float, float, float], hi: Tuple[float, float, float],
     return rebuild
 
 
+def make_sort_order(lo, hi, cutoff,
+                    periodic=(False, False, False)):
+    """Bin-sort permutation builder: order (N,) with new_row -> particle.
+
+    Sorting the SoA by bin at every rebuild makes partner indices in the
+    (K, N) table point into a small local window, so the per-substep
+    partner row gather stops thrashing HBM across the full particle set
+    (each 512B row fetch lands near its predecessor). Inactive particles
+    park at the end.
+    """
+    nbx = max(int((hi[0] - lo[0]) / cutoff), 1)
+    nby = max(int((hi[1] - lo[1]) / cutoff), 1)
+    nbz = max(int((hi[2] - lo[2]) / cutoff), 1)
+    n_bins = nbx * nby * nbz
+
+    def sort_order(pos, active):
+        lo_a = jnp.asarray(lo, pos.dtype)
+        size = jnp.asarray([(hi[0] - lo[0]) / nbx, (hi[1] - lo[1]) / nby,
+                            (hi[2] - lo[2]) / nbz], pos.dtype)
+        ijk = jnp.clip(jnp.floor((pos - lo_a) / size).astype(jnp.int32),
+                       0, jnp.asarray([nbx - 1, nby - 1, nbz - 1]))
+        bin_id = (ijk[:, 0] * nby + ijk[:, 1]) * nbz + ijk[:, 2]
+        bin_id = jnp.where(active, bin_id, n_bins)
+        return jnp.argsort(bin_id)
+
+    return sort_order
+
+
+def permute_particle_state(st: ParticleState, order) -> ParticleState:
+    """Reorder the fixed-capacity SoA so row r holds particle order[r].
+
+    (N, ...) fields take a row gather; the (3, K, N)/(3, W, N) history
+    tensors and the (K, N) neighbor table permute their N axis via row
+    gathers of their transposes; neighbor-table VALUES are relabeled to
+    the new rows (sentinel N maps to N).
+    """
+    n = st.n_capacity
+    rank = jnp.argsort(order)                    # old row -> new row
+    rank_ext = jnp.concatenate([rank, jnp.asarray([n])]).astype(jnp.int32)
+
+    def p_rows(x):                               # (N, ...) or (N,)
+        return x[order]
+
+    def p_minor(x):                              # (..., N) -> permute last
+        moved = jnp.moveaxis(x, -1, 0)           # (N, ...)
+        return jnp.moveaxis(moved[order], 0, -1)
+
+    idx_perm = p_minor(st.nbr_idx) if st.nbr_idx.shape[0] else st.nbr_idx
+    if st.nbr_idx.shape[0]:
+        # relabel partner ids via a row gather of the (N+1, 1) rank table
+        idx_perm = rank_ext[:, None][idx_perm][..., 0]
+    if st.shear.ndim == 3 and st.shear.shape[1] == st.shear.shape[2] == n:
+        shear = st.shear[:, order][:, :, order]  # dense (3, N, N)
+    else:
+        shear = p_minor(st.shear)                # binned (3, K, N)
+
+    return st._replace(
+        pos=p_rows(st.pos), vel=p_rows(st.vel), omega=p_rows(st.omega),
+        radius=p_rows(st.radius), mass=p_rows(st.mass),
+        density=p_rows(st.density), ptype=p_rows(st.ptype),
+        tag=p_rows(st.tag), active=p_rows(st.active),
+        force=p_rows(st.force), torque=p_rows(st.torque),
+        shear=shear, wall_shear=p_minor(st.wall_shear),
+        nbr_idx=idx_perm, pos_at_build=p_rows(st.pos_at_build),
+        fdrag=p_rows(st.fdrag), dudt=p_rows(st.dudt),
+        v_old=p_rows(st.v_old), n0=p_rows(st.n0),
+        sum_delta_fb=p_rows(st.sum_delta_fb),
+        vel_fluid_old=p_rows(st.vel_fluid_old),
+    )
+
+
 def carry_over_shear(old_idx, new_idx, old_shear):
     """Transfer per-contact shear across a rebuild by partner matching.
 

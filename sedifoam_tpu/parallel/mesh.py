@@ -1,4 +1,25 @@
-"""Sharding specs for the coupled state over a device mesh."""
+"""Sharding specs for the coupled state over a device mesh.
+
+Layout design (the TPU replacement for the reference's dual MPI
+decomposition, SURVEY.md section 5.8):
+
+- grid fields shard along grid-x; GSPMD inserts the halo exchanges the
+  FV stencils need (the OpenFOAM processor-patch analogue);
+- particle arrays shard along the capacity axis. With
+  DEMConfig.sort_on_rebuild (default for the binned backend) the SoA is
+  re-sorted by bin id — x-major, matching the grid decomposition — at
+  every neighbor rebuild, so each device's contiguous particle block
+  corresponds to an x-slab of space: the (K, N) partner gathers and the
+  particle<->grid transfers then reference mostly device-local rows, and
+  the collectives GSPMD inserts carry only the slab-boundary halo
+  instead of an all-gather of the full SoA. Re-sorting doubles as the
+  re-bucketing step that replaces MPI particle migration
+  (softParticleCloud.C:602-687): a particle that drifts across a slab
+  boundary changes devices at the next rebuild.
+- the capacity split is even while slab populations are not, so
+  alignment is approximate; exactness is not required — it only moves
+  work between the local and collective paths.
+"""
 
 from __future__ import annotations
 

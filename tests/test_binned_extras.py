@@ -60,7 +60,8 @@ def test_dense_binned_force_parity(extra):
         cfg = _cfg(backend, **kw)
         parts = _make(backend, cfg, pos, vel, rad)
         parts = _dem.setup_forces(parts, cfg)
-        out[backend] = (np.asarray(parts.force), np.asarray(parts.torque))
+        from tagsort import by_tag
+        out[backend] = tuple(by_tag(parts, "force", "torque"))
     scale = np.abs(out["dense"][0]).max() + 1e-30
     np.testing.assert_allclose(out["binned"][0], out["dense"][0],
                                atol=1e-10 * scale)

@@ -50,10 +50,12 @@ def test_binned_matches_dense_forces():
     cfg_d, cfg_b = _configs("dense"), _configs("binned")
     st_d = setup_forces(st_d, cfg_d)
     st_b = setup_forces(st_b, cfg_b)
-    np.testing.assert_allclose(np.asarray(st_b.force), np.asarray(st_d.force),
+    from tagsort import by_tag
+    fb, fd = by_tag(st_b, "force"), by_tag(st_d, "force")
+    np.testing.assert_allclose(fb, fd,
                                rtol=1e-12, atol=1e-14)
-    np.testing.assert_allclose(np.asarray(st_b.torque),
-                               np.asarray(st_d.torque), rtol=1e-12,
+    np.testing.assert_allclose(by_tag(st_b, "torque"),
+                               by_tag(st_d, "torque"), rtol=1e-12,
                                atol=1e-14)
 
 
@@ -68,9 +70,10 @@ def test_binned_matches_dense_trajectory():
     st_b = setup_forces(st_b, cfg_b)
     st_d = run_dem(st_d, cfg_d, 3000)
     st_b = run_dem(st_b, cfg_b, 3000)
-    np.testing.assert_allclose(np.asarray(st_b.pos), np.asarray(st_d.pos),
+    from tagsort import by_tag
+    np.testing.assert_allclose(by_tag(st_b, "pos"), by_tag(st_d, "pos"),
                                rtol=0, atol=1e-8)
-    np.testing.assert_allclose(np.asarray(st_b.vel), np.asarray(st_d.vel),
+    np.testing.assert_allclose(by_tag(st_b, "vel"), by_tag(st_d, "vel"),
                                rtol=0, atol=1e-6)
 
 

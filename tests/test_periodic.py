@@ -70,7 +70,8 @@ def test_dense_binned_equivalence_periodic():
                                else None)
         parts = _dem.setup_forces(parts, cfg)
         parts = _dem.run_dem(parts, cfg, 20)
-        out[backend] = (np.asarray(parts.pos), np.asarray(parts.vel))
+        from tagsort import by_tag
+        out[backend] = tuple(by_tag(parts, "pos", "vel"))
     np.testing.assert_allclose(out["dense"][0], out["binned"][0],
                                rtol=0, atol=1e-12)
     np.testing.assert_allclose(out["dense"][1], out["binned"][1],
