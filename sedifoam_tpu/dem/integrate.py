@@ -29,6 +29,30 @@ _INERTIA = 0.4  # solid sphere moment-of-inertia factor (LAMMPS nve/sphere)
 def maybe_rebuild_neighbors(state: ParticleState, cfg: DEMConfig,
                             force: bool = False) -> ParticleState:
     """Verlet-skin rebuild check (binned backend only)."""
+    if cfg.backend == "lattice":
+        from sedifoam_tpu.dem import lattice as _lat
+
+        geom = _lat.make_geom(cfg)
+
+        def do_rebuild_lat(st: ParticleState) -> ParticleState:
+            new_slot, _overflow = _lat.bin_slots(geom, st.pos, st.active)
+            shear = _lat.carry_shear_lattice(st.nbr_idx, new_slot,
+                                             st.shear, geom, st.n_capacity)
+            return st._replace(nbr_idx=new_slot, shear=shear,
+                               pos_at_build=st.pos)
+
+        if force:
+            return do_rebuild_lat(state)
+        disp = state.pos - state.pos_at_build
+        for a in range(3):
+            if cfg.periodic[a]:
+                L = cfg.domain_hi[a] - cfg.domain_lo[a]
+                da = disp[:, a]
+                disp = disp.at[:, a].set(da - L * jnp.round(da / L))
+        max_d2 = jnp.max(jnp.sum(disp * disp, axis=-1) * state.active)
+        need = max_d2 > (0.5 * cfg.skin) ** 2
+        return jax.lax.cond(need, do_rebuild_lat, lambda st: st, state)
+
     if cfg.backend != "binned":
         return state
     from sedifoam_tpu.dem.neighbor import (carry_over_shear, make_binner,
@@ -74,6 +98,15 @@ def compute_forces(state: ParticleState, cfg: DEMConfig,
         f_pair, tq_pair, shear = pair_forces_binned(
             state, cfg.pair, dt, state.nbr_idx, shearupdate,
             periodic_len=plen)
+    elif cfg.backend == "lattice":
+        from sedifoam_tpu.dem import lattice as _lat
+        if cfg.cohesion is not None or cfg.lubrication is not None:
+            raise NotImplementedError(
+                "cohesion/lubrication are not wired for the lattice "
+                "backend; use backend='binned'")
+        geom = _lat.make_geom(cfg)
+        f_pair, tq_pair, shear = _lat.lattice_pair_forces(
+            state, cfg, geom, state.nbr_idx, state.shear, shearupdate)
     else:
         f_pair, tq_pair, shear = pair_forces(state, cfg.pair, dt, shearupdate,
                                              periodic_len=plen)

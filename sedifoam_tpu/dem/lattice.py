@@ -1,0 +1,433 @@
+"""Roll-based lattice contact backend: gather-free pair enumeration.
+
+The (K, N) neighbor-table backend spends most of a DEM substep in the
+partner row gather (~3 ns/row on TPU, K*N rows). This backend removes the
+gather entirely: particles live on a ghost-padded bin lattice of fixed
+slots, and partner data for every pair comes from 13 static half-offset
+ROLLS of the slot arrays (plus in-bin pairs) — pure shifts the compiler
+fuses, measured ~4x cheaper than the gather at 131k particles.
+
+Layout (TPU): every slot array is (M, S) with the flattened padded bin
+axis MINOR (no 128-lane padding waste). The bin grid is (nbx+2) x
+(nby+2) x (nbz+2) with one ghost layer: periodic axes copy the opposite
+boundary layer into the ghosts (the halo-exchange pattern), wall axes
+leave ghosts empty — after which all 26 neighbor offsets are plain flat
+shifts, valid for every real bin, no bounds masks.
+
+Contact shear history is lattice-resident: (3, NOFF, M, M, S) keyed by
+(half-offset o, slot mi, partner slot mj, bin), exact ordered-pair
+semantics via Newton (the j side sees -shear). Between rebuilds keys are
+static so history accumulates in place; on rebuild it is carried by
+tag-matching through a compact per-slot top-k table (elementwise
+matching, no gathers).
+
+Pairs are enumerated once (half list): offset (0,0,0) takes mi < mj;
+the 13 lexicographically-positive offsets take full (M, M) blocks; the
+reaction lands on the partner via a reverse roll.
+
+Reference hot loop: interfaceToLammps/pair_gran_hertzFix_history.cpp:
+109-287.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sedifoam_tpu.config import DEMConfig, PairParams
+from sedifoam_tpu.dem.forcelaws import contact_force
+from sedifoam_tpu.dem.state import ParticleState
+
+# half neighborhood: (0,0,0) + the 13 offsets whose first nonzero is +
+HALF_OFFSETS = [(0, 0, 0)] + [
+    (dx, dy, dz)
+    for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)
+    if (dx, dy, dz) > (0, 0, 0)
+]
+NOFF = len(HALF_OFFSETS)  # 14
+
+
+def geom_offsets(geom: "LatticeGeom"):
+    """Half offsets deduplicated for tiny periodic axes: with nb==2 the
+    -1 and +1 images coincide (keep +1 and 0); with nb==1 only 0."""
+
+    def ok(off):
+        for a in range(3):
+            if geom.periodic[a]:
+                if geom.nb[a] == 1 and off[a] != 0:
+                    return False
+                if geom.nb[a] == 2 and off[a] == -1:
+                    return False
+        return True
+
+    return [off for off in HALF_OFFSETS if ok(off)]
+
+
+@dataclasses.dataclass(frozen=True)
+class LatticeGeom:
+    nb: Tuple[int, int, int]        # real bins per axis
+    pitch: Tuple[float, float, float]
+    lo: Tuple[float, float, float]
+    periodic: Tuple[bool, bool, bool]
+    M: int                          # slots per bin
+
+    @property
+    def padded(self):
+        return tuple(n + 2 for n in self.nb)
+
+    @property
+    def S(self):
+        p = self.padded
+        return p[0] * p[1] * p[2]
+
+    def flat_delta(self, off) -> int:
+        p = self.padded
+        return (off[0] * p[1] + off[1]) * p[2] + off[2]
+
+
+def make_geom(cfg: DEMConfig) -> LatticeGeom:
+    nb = tuple(max(int((cfg.domain_hi[a] - cfg.domain_lo[a]) / cfg.cutoff),
+                   1) for a in range(3))
+    pitch = tuple((cfg.domain_hi[a] - cfg.domain_lo[a]) / nb[a]
+                  for a in range(3))
+    return LatticeGeom(nb=nb, pitch=pitch, lo=cfg.domain_lo,
+                       periodic=cfg.periodic, M=cfg.max_per_bin)
+
+
+def bin_slots(geom: LatticeGeom, pos, active):
+    """Assign particles to lattice slots.
+
+    Returns (slot_particle (M, S) int32 with N = empty, overflow count).
+    Ghost bins stay empty; they are filled by halo copies.
+    """
+    n = pos.shape[0]
+    p = geom.padded
+    ijk_cols = []
+    for a in range(3):
+        c = jnp.floor((pos[:, a] - geom.lo[a]) / geom.pitch[a]
+                      ).astype(jnp.int32)
+        ijk_cols.append(jnp.clip(c, 0, geom.nb[a] - 1) + 1)  # +1: ghosts
+    bin_id = (ijk_cols[0] * p[1] + ijk_cols[1]) * p[2] + ijk_cols[2]
+    bin_id = jnp.where(active, bin_id, geom.S)      # park inactive
+
+    order = jnp.argsort(bin_id)                     # stable
+    sorted_bins = bin_id[order]
+    starts = jnp.searchsorted(sorted_bins, jnp.arange(geom.S + 1))
+    # rank within bin for each sorted position
+    rank = jnp.arange(n) - starts[jnp.clip(sorted_bins, 0, geom.S)]
+    overflow = jnp.sum((rank >= geom.M) & (sorted_bins < geom.S))
+
+    ok = (rank < geom.M) & (sorted_bins < geom.S)
+    flat = jnp.where(ok, rank * geom.S + sorted_bins, geom.M * geom.S)
+    slot_particle = jnp.full((geom.M * geom.S,), n, jnp.int32)
+    slot_particle = slot_particle.at[flat].set(
+        order.astype(jnp.int32), mode="drop")
+    return slot_particle.reshape(geom.M, geom.S), overflow
+
+
+def _halo_exchange(arr, geom: LatticeGeom):
+    """Fill ghost layers: periodic axes copy the opposite boundary slab,
+    wall axes leave the zero/empty fill. arr: (..., S) -> (..., S)."""
+    p = geom.padded
+    a4 = arr.reshape(arr.shape[:-1] + p)
+    for a, per in enumerate(geom.periodic):
+        if not per:
+            continue
+        ax = arr.ndim - 1 + a  # axis index in the reshaped view
+        lo_src = jax.lax.slice_in_dim(a4, p[a] - 2, p[a] - 1, axis=ax)
+        hi_src = jax.lax.slice_in_dim(a4, 1, 2, axis=ax)
+        a4 = jax.lax.concatenate(
+            [lo_src, jax.lax.slice_in_dim(a4, 1, p[a] - 1, axis=ax),
+             hi_src], dimension=ax)
+    return a4.reshape(arr.shape)
+
+
+def _halo_fold(arr, geom: LatticeGeom):
+    """Reverse of _halo_exchange for ACCUMULATED quantities: add what
+    landed on periodic ghost layers back onto their source real layers
+    (ghost 0 came from real p-2; ghost p-1 from real 1)."""
+    p = geom.padded
+    a4 = arr.reshape(arr.shape[:-1] + p)
+    for a, per in enumerate(geom.periodic):
+        if not per:
+            continue
+        ax = arr.ndim - 1 + a
+        lo_g = jax.lax.slice_in_dim(a4, 0, 1, axis=ax)
+        hi_g = jax.lax.slice_in_dim(a4, p[a] - 1, p[a], axis=ax)
+        mid = jax.lax.slice_in_dim(a4, 1, p[a] - 1, axis=ax)
+        zero_g = jnp.zeros_like(lo_g)
+        if p[a] == 3:  # single real layer: both ghosts fold onto it
+            a4 = jax.lax.concatenate([zero_g, mid + lo_g + hi_g, zero_g],
+                                     dimension=ax)
+        else:
+            first = jax.lax.slice_in_dim(mid, 0, 1, axis=ax) + hi_g
+            last = jax.lax.slice_in_dim(mid, p[a] - 3, p[a] - 2,
+                                        axis=ax) + lo_g
+            inner = jax.lax.slice_in_dim(mid, 1, p[a] - 3, axis=ax)
+            a4 = jax.lax.concatenate([zero_g, first, inner, last, zero_g],
+                                     dimension=ax)
+    return a4.reshape(arr.shape)
+
+
+def real_bin_mask(geom: LatticeGeom) -> np.ndarray:
+    """(S,) bool: True for real (non-ghost) bins."""
+    p = geom.padded
+    m = np.zeros(p, bool)
+    m[1:-1, 1:-1, 1:-1] = True
+    return m.reshape(-1)
+
+
+def _shift(arr, d: int):
+    """Flat shift by d bins: out[..., s] = arr[..., s + d] (wrap reads hit
+    ghost/far rows, harmless: the i side there is a ghost)."""
+    return jnp.roll(arr, -d, axis=-1)
+
+
+def pack_fields(state: ParticleState, slot_particle, geom: LatticeGeom):
+    """Particle SoA -> lattice slot arrays via ONE padded row gather.
+
+    Returns (fields dict of (M, S) arrays, has (M, S) bool).
+    """
+    n = state.n_capacity
+    has = slot_particle < n
+    j = jnp.clip(slot_particle, 0, n - 1)
+    packed = jnp.stack([state.pos[:, 0], state.pos[:, 1], state.pos[:, 2],
+                        state.vel[:, 0], state.vel[:, 1], state.vel[:, 2],
+                        state.omega[:, 0], state.omega[:, 1],
+                        state.omega[:, 2],
+                        state.radius, state.mass], axis=-1)   # (N, 11)
+    pg = packed[j]                                            # (M, S, 11)
+    fields = {k: jnp.where(has, pg[..., i], 0.0) for i, k in enumerate(
+        ["x", "y", "z", "vx", "vy", "vz", "wx", "wy", "wz", "rad", "m"])}
+    return fields, has
+
+
+def _halo_fields(fields, has, geom: LatticeGeom):
+    """Halo-exchange every field; wrap coordinates by +-L on the copied
+    ghost slabs so deltas are already minimum-image."""
+    p = geom.padded
+    out = {k: _halo_exchange(v, geom) for k, v in fields.items()}
+    has = _halo_exchange(has, geom)
+    for a, key in enumerate(("x", "y", "z")):
+        if not geom.periodic[a]:
+            continue
+        L = geom.nb[a] * geom.pitch[a]
+        c4 = out[key].reshape(out[key].shape[:-1] + p)
+        idx = jnp.arange(p[a])
+        shape = [1, 1, 1]
+        shape[a] = p[a]
+        lo_ghost = (idx == 0).reshape(shape)
+        hi_ghost = (idx == p[a] - 1).reshape(shape)
+        c4 = c4 - jnp.where(lo_ghost, L, 0.0) + jnp.where(hi_ghost, L, 0.0)
+        out[key] = c4.reshape(out[key].shape)
+    return out, has
+
+
+def lattice_pair_forces(state: ParticleState, cfg: DEMConfig,
+                        geom: LatticeGeom, slot_particle, shear_lat,
+                        shearupdate: bool = True):
+    """Pair forces/torques via half-offset rolls.
+
+    shear_lat: (3, NOFF, M, M, S). Returns (force (N,3), torque (N,3),
+    new shear_lat).
+    """
+    params = cfg.pair
+    dt = cfg.dt
+    M, S = geom.M, geom.S
+    n = state.n_capacity
+
+    offs = geom_offsets(geom)
+    fields, has0 = pack_fields(state, slot_particle, geom)
+    fields, has = _halo_fields(fields, has0, geom)
+    real = jnp.asarray(real_bin_mask(geom))
+
+    f_acc = {c: jnp.zeros((M, S), state.pos.dtype) for c in "xyz"}
+    t_acc = {c: jnp.zeros((M, S), state.pos.dtype) for c in "xyz"}
+    new_shear = []
+
+    for o_i, off in enumerate(offs):
+        d = geom.flat_delta(off)
+        nbf = {k: _shift(v, d) for k, v in fields.items()} \
+            if d != 0 else fields
+        nb_has = _shift(has, d) if d != 0 else has
+
+        # pair block (M_i, M_j, S)
+        delta = tuple(fields[c][:, None, :] - nbf[c][None, :, :]
+                      for c in "xyz")
+        rsq = delta[0] ** 2 + delta[1] ** 2 + delta[2] ** 2
+        radi = fields["rad"][:, None, :]
+        radj = nbf["rad"][None, :, :]
+        radsum = radi + radj
+        # real[i-bin] kills the mirrored ghost-side enumeration of
+        # cross-seam pairs (each physical pair is counted exactly once)
+        touch = has[:, None, :] & nb_has[None, :, :] \
+            & (rsq < radsum ** 2) & real[None, None, :]
+        if off == (0, 0, 0):
+            # in-bin: ordered half (mi < mj)
+            tri = np.tril(np.ones((M, M), bool), -1).T  # mi < mj
+            touch = touch & jnp.asarray(tri)[:, :, None]
+
+        rsq_safe = jnp.where(touch, rsq, 1.0)
+        r = jnp.sqrt(rsq_safe)
+        rinv = 1.0 / r
+        rsqinv = 1.0 / rsq_safe
+
+        vr = tuple(fields["v" + c][:, None, :] - nbf["v" + c][None, :, :]
+                   for c in "xyz")
+        vnnr = sum(vr[c] * delta[c] for c in range(3))
+        vn = tuple(delta[c] * vnnr * rsqinv for c in range(3))
+        vt = tuple(vr[c] - vn[c] for c in range(3))
+        wr = tuple((radi * fields["w" + c][:, None, :]
+                    + radj * nbf["w" + c][None, :, :]) * rinv for c in "xyz")
+        vtr = (vt[0] - (delta[2] * wr[1] - delta[1] * wr[2]),
+               vt[1] - (delta[0] * wr[2] - delta[2] * wr[0]),
+               vt[2] - (delta[1] * wr[0] - delta[0] * wr[1]))
+
+        mi = fields["m"][:, None, :]
+        mj = nbf["m"][None, :, :]
+        meff = mi * mj / jnp.maximum(mi + mj, 1e-300)
+        overlap = radsum - r
+        poly_arg = overlap * radi * radj / jnp.maximum(radsum, 1e-300)
+
+        sh = (shear_lat[0, o_i], shear_lat[1, o_i], shear_lat[2, o_i])
+        fpair, fs_vec, sh_new = contact_force(
+            params, dt, touch, overlap, r, rinv, rsqinv, delta,
+            vnnr, vtr, sh, meff, poly_arg, shearupdate)
+        new_shear.append(jnp.stack(sh_new))
+
+        # accumulate on i; Newton reaction on j via reverse shift (the
+        # reverse shift can land on a ghost copy of j -> folded below)
+        for c in range(3):
+            key = "xyz"[c]
+            f_acc[key] = f_acc[key] + jnp.sum(fpair[c], axis=1)
+            back = jnp.sum(fpair[c], axis=0)          # (M_j, S)
+            f_acc[key] = f_acc[key] - (_shift(back, -d) if d != 0 else back)
+        # torque: -rad_i/r cross(delta, fs) on i; -rad_j/r same cross on j
+        tor = (delta[1] * fs_vec[2] - delta[2] * fs_vec[1],
+               delta[2] * fs_vec[0] - delta[0] * fs_vec[2],
+               delta[0] * fs_vec[1] - delta[1] * fs_vec[0])
+        for c in range(3):
+            key = "xyz"[c]
+            t_acc[key] = t_acc[key] - jnp.sum(radi * tor[c] * rinv, axis=1)
+            backt = jnp.sum(radj * tor[c] * rinv, axis=0)
+            t_acc[key] = t_acc[key] - (_shift(backt, -d) if d != 0
+                                       else backt)
+
+    # fold periodic-ghost accumulations back onto their real bins
+    for c in "xyz":
+        f_acc[c] = _halo_fold(f_acc[c], geom)
+        t_acc[c] = _halo_fold(t_acc[c], geom)
+
+    shear_out = jnp.stack(new_shear, axis=1)          # (3, NOFF, M, M, S)
+
+    # lattice -> particle: segment-sum by particle id (slots are unique
+    # per particle, so this is a permutation scatter)
+    sp = slot_particle.reshape(-1)
+    force = jnp.stack([
+        jax.ops.segment_sum(f_acc[c].reshape(-1), sp, num_segments=n + 1
+                            )[:n] for c in "xyz"], axis=-1)
+    torque = jnp.stack([
+        jax.ops.segment_sum(t_acc[c].reshape(-1), sp, num_segments=n + 1
+                            )[:n] for c in "xyz"], axis=-1)
+    return force, torque, shear_out
+
+
+# --------------------------------------------------------------------------
+# rebuild: slot assignment + compact tag-matched shear carry
+# --------------------------------------------------------------------------
+
+
+def _partner_tags(slot_particle, geom: LatticeGeom):
+    """(NOFF, M, S) partner particle id for each (offset, mj, bin)."""
+    outs = []
+    for off in geom_offsets(geom):
+        d = geom.flat_delta(off)
+        outs.append(_shift(slot_particle, d) if d != 0 else slot_particle)
+    return jnp.stack(outs)  # (n_off, M, S)
+
+
+def carry_shear_lattice(old_slot, new_slot, old_shear, geom: LatticeGeom,
+                        n: int, k_compact: int = 16):
+    """Carry per-pair shear across a rebuild.
+
+    1) compact the old lattice: per old slot (mi, bin), its pairs are the
+       i-side rows (o, mj) plus the j-side rows (o, mi') shifted back —
+       2*NOFF*M candidates; keep the k_compact largest |shear| with their
+       partner ids (top_k, no gathers);
+    2) re-map compact rows from old slots to new slots by particle id
+       (one row gather of M*S rows);
+    3) re-inject: each new pair key matches its partner id against the
+       particle's k_compact entries (elementwise) and sums the shear.
+    """
+    M, S = geom.M, geom.S
+    halo_old = _halo_exchange(old_slot, geom)
+
+    # --- 1) compact extraction in old-slot space ------------------------
+    # candidate blocks, all shaped ids (M_me, Mc, S) / shear (3, M_me, Mc, S)
+    id_blocks, sh_blocks = [], []
+    for o_i, off in enumerate(geom_offsets(geom)):
+        d = geom.flat_delta(off)
+        # i-side: I am mi at bin; partner j = slot (mj, bin + d)
+        pj = _shift(halo_old, d) if d != 0 else halo_old       # (M, S)
+        id_blocks.append(jnp.broadcast_to(pj[None, :, :], (M, M, S)))
+        sh_blocks.append(old_shear[:, o_i])                    # (3,M,M,S)
+        # j-side: I am mj at bin; pair stored at bin-d as (mi', me):
+        # shifted view puts it at my bin; swap (mi', me) so my slot leads
+        pi = _shift(halo_old, -d) if d != 0 else halo_old
+        id_blocks.append(jnp.broadcast_to(pi[None, :, :], (M, M, S)))
+        sh_b = _shift(old_shear[:, o_i], -d) if d != 0 \
+            else old_shear[:, o_i]                             # (3,Mi',Me,S)
+        sh_blocks.append(-jnp.swapaxes(sh_b, 1, 2))            # (3,Me,Mi',S)
+    ids = jnp.concatenate(id_blocks, axis=1)          # (M, C, S)
+    sh = jnp.concatenate(sh_blocks, axis=2)           # (3, M, C, S)
+    C = ids.shape[1]
+    k_compact = min(k_compact, C)
+
+    mag = jnp.sum(sh * sh, axis=0)                    # (M, C, S)
+    mag_t = jnp.moveaxis(mag, 1, -1)                  # (M, S, C)
+    topmag, sel = jax.lax.top_k(mag_t, k_compact)     # (M, S, Kc)
+    ids_t = jnp.moveaxis(ids, 1, -1)                  # (M, S, C)
+    comp_ids = jnp.take_along_axis(ids_t, sel, axis=-1)   # (M, S, Kc)
+    live = topmag > 0.0
+    comp_ids = jnp.where(live, comp_ids, n)
+    comp_sh = jnp.stack([
+        jnp.take_along_axis(jnp.moveaxis(sh[c], 1, -1), sel, axis=-1)
+        for c in range(3)])                           # (3, M, S, Kc)
+    comp_sh = jnp.where(live[None], comp_sh, 0.0)
+
+    # --- 2) old-slot-major -> new-slot-major (by particle id) ----------
+    comp_ids = comp_ids.reshape(M * S, k_compact)
+    comp_sh = comp_sh.reshape(3, M * S, k_compact)
+    old_owner = old_slot.reshape(-1)                  # (M*S,)
+    slot_of_particle = jnp.full((n + 1,), M * S, jnp.int32)
+    slot_of_particle = slot_of_particle.at[old_owner].set(
+        jnp.arange(M * S, dtype=jnp.int32), mode="drop")
+    new_owner = new_slot.reshape(-1)
+    src = slot_of_particle[jnp.clip(new_owner, 0, n)]
+    src_ok = (new_owner < n) & (src < M * S)
+    src_c = jnp.clip(src, 0, M * S - 1)
+    comp_ids_new = jnp.where(src_ok[:, None], comp_ids[src_c], n
+                             ).reshape(M, S, k_compact)
+    comp_sh_new = jnp.where(src_ok[None, :, None], comp_sh[:, src_c], 0.0
+                            ).reshape(3, M, S, k_compact)
+
+    # --- 3) re-inject into new lattice keys -----------------------------
+    halo_new = _halo_exchange(new_slot, geom)
+    outs = []
+    for off in geom_offsets(geom):
+        d = geom.flat_delta(off)
+        pj = _shift(halo_new, d) if d != 0 else halo_new  # (M_j, S)
+        # match (Mi, Mj, S, Kc): my compact entry k names partner pj[mj]
+        match = (comp_ids_new[:, None, :, :] == pj[None, :, :, None]) \
+            & (comp_ids_new[:, None, :, :] < n)
+        m = match.astype(comp_sh_new.dtype)
+        contrib = jnp.einsum(
+            "ijsk,ciks->cijs", m,
+            jnp.moveaxis(comp_sh_new, 2, 3),
+            precision=jax.lax.Precision.HIGHEST)
+        outs.append(contrib)
+    return jnp.stack(outs, axis=1)                    # (3, NOFF, M, M, S)

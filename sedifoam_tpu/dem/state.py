@@ -72,11 +72,21 @@ class ParticleState(NamedTuple):
         return 0.4 * self.mass * self.radius ** 2
 
 
+def _n_lattice_offsets(geom) -> int:
+    from sedifoam_tpu.dem.lattice import geom_offsets
+    return len(geom_offsets(geom))
+
+
 def make_particles(pos, radius, density, vel=None, omega=None, ptype=None,
                    tag=None, capacity: Optional[int] = None, n_walls: int = 6,
                    neighbor_k: Optional[int] = None,
+                   lattice_geom=None,
                    dtype=jnp.float64) -> ParticleState:
-    """Build a ParticleState from numpy/array inputs, padded to capacity."""
+    """Build a ParticleState from numpy/array inputs, padded to capacity.
+
+    neighbor_k: (K, N) binned-backend table; lattice_geom: lattice
+    backend (dem/lattice.LatticeGeom) — shear and the slot table take the
+    lattice shapes instead."""
     pos = np.asarray(pos, dtype=np.float64).reshape(-1, 3)
     n = pos.shape[0]
     capacity = capacity or n
@@ -115,11 +125,19 @@ def make_particles(pos, radius, density, vel=None, omega=None, ptype=None,
         active=jnp.asarray(active),
         force=jnp.zeros((capacity, 3), dtype),
         torque=jnp.zeros((capacity, 3), dtype),
-        shear=(jnp.zeros((3, capacity, capacity), dtype)
-               if neighbor_k is None
-               else jnp.zeros((3, neighbor_k, capacity), dtype)),
+        shear=(
+            jnp.zeros((3, _n_lattice_offsets(lattice_geom), lattice_geom.M,
+                       lattice_geom.M, lattice_geom.S), dtype)
+            if lattice_geom is not None
+            else jnp.zeros((3, capacity, capacity), dtype)
+            if neighbor_k is None
+            else jnp.zeros((3, neighbor_k, capacity), dtype)),
         wall_shear=jnp.zeros((3, n_walls, capacity), dtype),
-        nbr_idx=jnp.full((neighbor_k or 0, capacity), capacity, jnp.int32),
+        nbr_idx=(
+            jnp.full((lattice_geom.M, lattice_geom.S), capacity, jnp.int32)
+            if lattice_geom is not None
+            else jnp.full((neighbor_k or 0, capacity), capacity,
+                          jnp.int32)),
         pos_at_build=pad2(pos),
         fdrag=jnp.zeros((capacity, 3), dtype),
         dudt=jnp.zeros((capacity, 3), dtype),

@@ -21,6 +21,28 @@ from sedifoam_tpu.fluid.state import FluidBCs, FluidState
 from sedifoam_tpu.grid import FaceField, Grid
 
 
+def reynolds_stress(fs: FluidState, grid: Grid, bcs: FluidBCs,
+                    cfg: FluidConfig):
+    """B = 2/3 k I - nuEff dev(twoSymm(grad(Ub))) — the Reynolds-stress
+    export of the reference (pEqn.H:100 writes `B` every output time).
+
+    Returns (6, nx, ny, nz): xx, xy, xz, yy, yz, zz.
+    """
+    g = ops.grad_vec(fs.Ub, grid, bcs.Ub)   # g[j, i] = dU_j/dx_i
+    divU = g[0, 0] + g[1, 1] + g[2, 2]
+    nut = fs.nut
+    k = fs.k
+
+    def comp(i, j):
+        s = nut * (g[i, j] + g[j, i])
+        if i == j:
+            return (2.0 / 3.0) * k - (s - (2.0 / 3.0) * nut * divU)
+        return -s
+
+    return jnp.stack([comp(0, 0), comp(0, 1), comp(0, 2),
+                      comp(1, 1), comp(1, 2), comp(2, 2)])
+
+
 def nu_eff(fs: FluidState, grid: Grid, cfg: FluidConfig):
     """Effective viscosity field for the momentum equation."""
     t = cfg.turbulence

@@ -92,11 +92,16 @@ class Simulation:
         tdir = os.path.join(out_dir, f"{self.t:.6g}")
         os.makedirs(tdir, exist_ok=True)
         fs, ps = self.state.fluid, self.state.particles
+        from sedifoam_tpu.fluid import turbulence as _turb
+        B = _turb.reynolds_stress(fs, self.cfg.grid, self.cfg.bcs,
+                                  self.cfg.fluid)
         np.savez_compressed(
             os.path.join(tdir, "fields.npz"),
             alpha=np.asarray(fs.alpha), p=np.asarray(fs.p),
             Ub=np.asarray(fs.Ub), Ua=np.asarray(fs.Ua),
-            Asrc=np.asarray(fs.Asrc))
+            Asrc=np.asarray(fs.Asrc),
+            k=np.asarray(fs.k), nut=np.asarray(fs.nut),
+            B=np.asarray(B))
         np.savez_compressed(
             os.path.join(tdir, "particles.npz"),
             pos=np.asarray(ps.pos), vel=np.asarray(ps.vel),
