@@ -95,7 +95,23 @@ def parse_input_script(path: str) -> LammpsCase:
                 # `boundary pp ff pp`: one token per axis, first char rules
                 case.periodic = tuple(t[0] == "p" for t in toks[1:4])
             elif cmd == "group" and len(toks) >= 4 and toks[2] == "type":
-                group_types[toks[1]] = tuple(int(t) for t in toks[3:])
+                # `group NAME type 1 2`, `type >= 3`, `type 2:5` forms
+                args = toks[3:]
+                types: List[int] = []
+                if args[0] in (">=", ">", "<=", "<", "=="):
+                    bound = int(args[1])
+                    rng = {">=": range(bound, 33), ">": range(bound + 1, 33),
+                           "<=": range(1, bound + 1), "<": range(1, bound),
+                           "==": range(bound, bound + 1)}[args[0]]
+                    types = list(rng)
+                else:
+                    for t in args:
+                        if ":" in t:
+                            a, b = t.split(":")[:2]
+                            types.extend(range(int(a), int(b) + 1))
+                        else:
+                            types.append(int(t))
+                group_types[toks[1]] = tuple(types)
             elif cmd == "read_data":
                 case.data_file = toks[1]
             elif cmd == "pair_style":
