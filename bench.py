@@ -35,6 +35,7 @@ REFERENCE_MEASURED_PSTEPS_PER_CORE = 4.57e6
 def build_case(n_particles=2048, nx=32, ny=64, nz=32, sub_steps=10,
                backend="dense"):
     from sedifoam_tpu import bc
+    from sedifoam_tpu.dem import lattice as _lat
     from sedifoam_tpu.config import (CloudConfig, DEMConfig, FluidConfig,
                                      PISOConfig, PairParams, WallSpec)
     from sedifoam_tpu.dem.state import make_particles
@@ -80,6 +81,7 @@ def build_case(n_particles=2048, nx=32, ny=64, nz=32, sub_steps=10,
                         backend=backend, nbr_k=24, max_per_bin=10,
                         cutoff=2 * r * 1.6, skin=0.6 * r,
                         domain_lo=(0.0, 0.0, 0.0), domain_hi=L)
+    lat_geom = _lat.make_geom(dem_cfg) if backend == "lattice" else None
     cfg = SimConfig(grid=grid, bcs=bcs, fluid=fluid_cfg, cloud=cloud_cfg,
                     dem=dem_cfg)
 
@@ -100,6 +102,7 @@ def build_case(n_particles=2048, nx=32, ny=64, nz=32, sub_steps=10,
     particles = make_particles(pos=pos, radius=r, density=2500.0,
                                capacity=n_particles, n_walls=len(walls),
                                neighbor_k=24 if backend == "binned" else None,
+                               lattice_geom=lat_geom,
                                dtype=jnp.float32)
     fluid = init_fluid(grid, Ub=jnp.zeros((3,) + grid.shape, jnp.float32
                                           ).at[1].set(vin),
@@ -114,6 +117,9 @@ def main():
     nx, ny, nz = (8, 16, 8) if small else (32, 64, 32)
     sub_steps = 10
     backend = "dense" if small else "binned"
+    for a in sys.argv:
+        if a.startswith("--backend="):
+            backend = a.split("=", 1)[1]
 
     from sedifoam_tpu.solver import make_step_fn
 

@@ -138,3 +138,31 @@ def test_lattice_freeze_and_walls():
         np.testing.assert_allclose(b, a, atol=1e-14)
     # frozen particle stayed
     np.testing.assert_allclose(out["dense"][0][1], pos[1], atol=0.0)
+
+
+def test_lattice_coupled_step():
+    """The lattice backend drives the full coupled CFD-DEM step."""
+    import importlib
+
+    import jax
+
+    ge = importlib.import_module("__graft_entry__")
+    from sedifoam_tpu.solver import coupled_step
+
+    cfg, state = ge._tiny_case(nx=8, ny=8, nz=8, n_particles=64,
+                               sub_steps=2, backend="lattice",
+                               dtype=jnp.float64)
+    cfg_d, state_d = ge._tiny_case(nx=8, ny=8, nz=8, n_particles=64,
+                                   sub_steps=2, backend="dense",
+                                   dtype=jnp.float64)
+    step = jax.jit(lambda s: coupled_step(s, cfg))
+    step_d = jax.jit(lambda s: coupled_step(s, cfg_d))
+    for _ in range(3):
+        state = step(state)
+        state_d = step_d(state_d)
+    assert bool(jnp.isfinite(state.fluid.p).all())
+    np.testing.assert_allclose(np.asarray(state.fluid.alpha),
+                               np.asarray(state_d.fluid.alpha),
+                               atol=1e-12)
+    np.testing.assert_allclose(*(by_tag(s.particles, "pos")
+                                 for s in (state, state_d)), atol=1e-12)
