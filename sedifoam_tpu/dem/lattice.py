@@ -38,7 +38,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from sedifoam_tpu.config import DEMConfig, PairParams
+from sedifoam_tpu.config import DEMConfig
 from sedifoam_tpu.dem.forcelaws import contact_force
 from sedifoam_tpu.dem.state import ParticleState
 
@@ -339,15 +339,6 @@ def lattice_pair_forces(state: ParticleState, cfg: DEMConfig,
 # --------------------------------------------------------------------------
 # rebuild: slot assignment + compact tag-matched shear carry
 # --------------------------------------------------------------------------
-
-
-def _partner_tags(slot_particle, geom: LatticeGeom):
-    """(NOFF, M, S) partner particle id for each (offset, mj, bin)."""
-    outs = []
-    for off in geom_offsets(geom):
-        d = geom.flat_delta(off)
-        outs.append(_shift(slot_particle, d) if d != 0 else slot_particle)
-    return jnp.stack(outs)  # (n_off, M, S)
 
 
 def carry_shear_lattice(old_slot, new_slot, old_shear, geom: LatticeGeom,

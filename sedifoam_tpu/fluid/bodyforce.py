@@ -48,19 +48,22 @@ def _wavevectors(grid: Grid, dtype):
 
 
 @lru_cache(maxsize=8)
-def _idft_mats(n: int, dtype_name: str):
-    """Inverse-DFT matrix W[j,k] = exp(2 pi i j k / n)/n as (cos, sin)."""
+def _idft_mats(n: int):
+    """Inverse-DFT matrix W[j,k] = exp(2 pi i j k / n)/n as (cos, sin).
+
+    Cached as NUMPY: caching device arrays would leak tracers between
+    jit contexts (UnexpectedTracerError on the second trace)."""
     j = np.arange(n)
     phase = 2.0 * np.pi * np.outer(j, j) / n
-    return (jnp.asarray(np.cos(phase) / n, dtype_name),
-            jnp.asarray(np.sin(phase) / n, dtype_name))
+    return np.cos(phase) / n, np.sin(phase) / n
 
 
 def _ifftn_real(re, im, grid: Grid):
     """Real part of ifftn over the 3 trailing axes, via matmul DFTs."""
-    dt = str(re.dtype)
+    dt = re.dtype
     for axis_len, axis in ((grid.nx, 1), (grid.ny, 2), (grid.nz, 3)):
-        C, S = _idft_mats(axis_len, dt)
+        Cn, Sn = _idft_mats(axis_len)
+        C, S = jnp.asarray(Cn, dt), jnp.asarray(Sn, dt)
         # contract the spatial axis with the DFT matrix: out_j = W_jk x_k
         hi = jax.lax.Precision.HIGHEST  # avoid TPU bf16 default on f32
         re_new = (jnp.tensordot(re, C, axes=(axis, 1), precision=hi)
