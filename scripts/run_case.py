@@ -43,6 +43,10 @@ def main():
     ap.add_argument("--semi-implicit-drag", action="store_true",
                     help="enable the semi-implicit fluid-side drag "
                          "(stiff gas-solid beds, e.g. expWachem_PCM)")
+    ap.add_argument("--foam-output", action="store_true",
+                    help="also write OpenFOAM-ASCII field files into the "
+                         "time directories (readable by the reference's "
+                         "own post-processing)")
     args = ap.parse_args()
 
     import jax
@@ -68,6 +72,7 @@ def main():
     probes = probe_locations_from_controldict(args.case_dir)
     sim = Simulation(cfg, state, probe_locations=probes or None,
                      steps_per_host_visit=20)
+    sim.foam_output = args.foam_output
 
     dump = None
     if args.dump:

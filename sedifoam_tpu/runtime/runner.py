@@ -108,6 +108,15 @@ class Simulation:
             omega=np.asarray(ps.omega), radius=np.asarray(ps.radius),
             tag=np.asarray(ps.tag), active=np.asarray(ps.active))
         _ckpt.save(os.path.join(tdir, "checkpoint.npz"), self.state)
+        if getattr(self, "foam_output", False):
+            # OpenFOAM-ASCII export (C12): readable by the reference's
+            # own post-processing tools
+            from sedifoam_tpu.io import foamwrite
+            foamwrite.write_time_dir(
+                out_dir, f"{self.t:.6g}", self.cfg.grid,
+                p=np.asarray(fs.p), alpha=np.asarray(fs.alpha),
+                Ub=np.asarray(fs.Ub), Ua=np.asarray(fs.Ua),
+                k=np.asarray(fs.k), nut=np.asarray(fs.nut))
         if self.log:
             with open(os.path.join(tdir, "diagnostics.jsonl"), "w") as f:
                 for d in self.log:

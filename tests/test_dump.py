@@ -43,3 +43,28 @@ def test_binary_dump(tmp_path):
     assert (step, n) == (7, 16)
     ids = np.frombuffer(raw[16:16 + 64], np.int32)
     assert list(ids[:3]) == [1, 2, 3]
+
+
+def test_openfoam_field_roundtrip(tmp_path):
+    """OpenFOAM-ASCII export (C12): fields written in blockMesh cell order
+    parse back bit-equal through our own OpenFOAM dict reader."""
+    import numpy as np
+
+    from sedifoam_tpu.grid import Grid
+    from sedifoam_tpu.io import foamwrite
+
+    grid = Grid(nx=4, ny=3, nz=2, dx=0.1, dy=0.1, dz=0.1)
+    rng = np.random.RandomState(0)
+    p = rng.randn(4, 3, 2)
+    U = rng.randn(3, 4, 3, 2)
+    tdir = foamwrite.write_time_dir(str(tmp_path), "0.5", grid,
+                                    patch_names=["walls", "inlet"],
+                                    p=p, Ub=U)
+    p2 = foamwrite.read_field(f"{tdir}/p", grid)
+    U2 = foamwrite.read_field(f"{tdir}/Ub", grid)
+    np.testing.assert_allclose(p2, p, rtol=1e-7)
+    np.testing.assert_allclose(U2, U, rtol=1e-7)
+    # header sanity: class + dimensions lines present
+    text = open(f"{tdir}/p").read()
+    assert "volScalarField" in text and "[1 -1 -2 0 0 0 0]" in text
+    assert "nonuniform List<scalar>" in text
