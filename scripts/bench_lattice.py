@@ -35,12 +35,13 @@ def bed_positions():
     return pos + rng.uniform(-0.05 * R, 0.05 * R, pos.shape)
 
 
-def build(backend, M=6, k=24):
+def build(backend, M=6, k=24, sort=True):
     walls = (WallSpec(style="yplane", lo=0.0, hi=L[1], params=PAIR),)
     cfg = DEMConfig(dt=5e-6, pair=PAIR, walls=walls,
                     gravity=(0.0, -9.81, 0.0), backend=backend,
                     nbr_k=k, max_per_bin=M, cutoff=2 * R * 1.6,
-                    skin=0.6 * R, domain_lo=(0.0, 0.0, 0.0), domain_hi=L)
+                    skin=0.6 * R, domain_lo=(0.0, 0.0, 0.0), domain_hi=L,
+                    sort_on_rebuild=sort)
     geom = _lat.make_geom(cfg) if backend == "lattice" else None
     parts = make_particles(
         pos=bed_positions(), radius=R, density=2500.0, capacity=N,
@@ -71,8 +72,8 @@ def timeit(cfg, parts, n=5):
     return ms
 
 
-for backend, kw in (("binned", {}), ("lattice", {"M": 6}),
-                    ("lattice", {"M": 8})):
+for backend, kw in (("binned", {}), ("binned", {"sort": False}),
+                    ("lattice", {"M": 6}), ("lattice", {"M": 8})):
     try:
         cfg, parts = build(backend, **kw)
         ms = timeit(cfg, parts)

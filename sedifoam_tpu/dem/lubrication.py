@@ -36,8 +36,6 @@ def _pairwise_lub(p, mu, delta, r, within, radi, radj, vi, vj, wi, wj, xl):
     the closest-approach point, xl the contact offset from particle i.
     Returns (fpair (3-tuple), torque contributions (3-tuple) or None).
     """
-    import jax.numpy as jnp
-
     h_sep = r - radi - radj
     h_sep = jnp.where(r < p.cut_inner, 100.0 * radi + 100.0 * radj, h_sep)
     h = jnp.maximum(h_sep / radi, 1e-12)
@@ -177,9 +175,7 @@ def lubrication_forces_binned(state: ParticleState, p: LubricationParams,
                               idx, periodic_len=None
                               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """pair lubricate/poly over the (K, N) neighbor table (binner cutoff
-    must cover p.cut; enforced by the case loader)."""
-    import jax.numpy as jnp
-
+    and K must cover p.cut's ring; enforced by the case loader)."""
     from sedifoam_tpu.dem.neighbor import gather_partners
 
     mu = p.mu

@@ -32,6 +32,9 @@ def contact_table(state: ParticleState, cfg: DEMConfig
     x, rad = state.pos, state.radius
     n = state.n_capacity
     plen = cfg.periodic_len()
+    if cfg.backend not in ("dense", "binned"):
+        raise NotImplementedError(
+            f"contact_table supports dense/binned, not {cfg.backend!r}")
 
     if cfg.backend == "dense":
         from sedifoam_tpu.dem.pair import min_image
@@ -113,6 +116,9 @@ def cohesion_table(state: ParticleState, cfg: DEMConfig
     fx/fy/fz, tag1/tag2. Dense -> (N, N) tables, binned -> (K, N)."""
     params = cfg.cohesion
     assert params is not None, "cohesion_table requires fix cohesive"
+    if cfg.backend not in ("dense", "binned"):
+        raise NotImplementedError(
+            f"cohesion_table supports dense/binned, not {cfg.backend!r}")
     from sedifoam_tpu.dem.cohesion import cohesion_ccel
 
     x, rad = state.pos, state.radius

@@ -23,21 +23,18 @@ from sedifoam_tpu.grid import FaceField, Grid
 
 def reynolds_stress(fs: FluidState, grid: Grid, bcs: FluidBCs,
                     cfg: FluidConfig):
-    """B = 2/3 k I - nuEff dev(twoSymm(grad(Ub))) — the Reynolds-stress
-    export of the reference (pEqn.H:100 writes `B` every output time).
+    """B = (2/3) k I - nuEff * twoSymm(grad(Ub)) — exactly the
+    Reynolds-stress export of the reference (pEqn.H:100).
 
     Returns (6, nx, ny, nz): xx, xy, xz, yy, yz, zz.
     """
     g = ops.grad_vec(fs.Ub, grid, bcs.Ub)   # g[j, i] = dU_j/dx_i
-    divU = g[0, 0] + g[1, 1] + g[2, 2]
-    nut = fs.nut
+    nueff = cfg.nub + fs.nut
     k = fs.k
 
     def comp(i, j):
-        s = nut * (g[i, j] + g[j, i])
-        if i == j:
-            return (2.0 / 3.0) * k - (s - (2.0 / 3.0) * nut * divU)
-        return -s
+        s = nueff * (g[i, j] + g[j, i])
+        return ((2.0 / 3.0) * k - s) if i == j else -s
 
     return jnp.stack([comp(0, 0), comp(0, 1), comp(0, 2),
                       comp(1, 1), comp(1, 2), comp(2, 2)])
@@ -114,9 +111,20 @@ def correct(fs: FluidState, grid: Grid, bcs: FluidBCs, cfg: FluidConfig
     raise ValueError(f"unknown turbulence model {t.model}")
 
 
+def _is_noslip(patch) -> bool:
+    """True only for fixedValue (0,0,0): velocity INLETS are fixedValue
+    too and must not get wall functions."""
+    if patch.kind != _bc.FIXED_VALUE:
+        return False
+    v = patch.value
+    if isinstance(v, _bc.TimeTable):
+        return all(all(x == 0.0 for x in knot) for knot in v.values)
+    return all(x == 0.0 for x in v)
+
+
 def _wall_layers(grid: Grid, bcs: FluidBCs):
     """(mask (nx,ny,nz), y_half (nx,ny,nz)) of cells adjacent to no-slip
-    (fixedValue Ub) patches, with their wall distance (half cell width)."""
+    walls, with their wall distance (half cell width)."""
     import numpy as np
     mask = np.zeros(grid.shape, bool)
     yh = np.ones(grid.shape)
@@ -124,7 +132,7 @@ def _wall_layers(grid: Grid, bcs: FluidBCs):
         lo_p, hi_p = bcs.Ub.axis(a)
         w = grid.axis_widths(a)
         for is_lo, patch in ((True, lo_p), (False, hi_p)):
-            if patch.kind != _bc.FIXED_VALUE:
+            if not _is_noslip(patch):
                 continue
             sl = [slice(None)] * 3
             sl[a] = slice(0, 1) if is_lo else slice(-1, None)

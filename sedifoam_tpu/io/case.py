@@ -8,6 +8,7 @@ with no modification and produces (SimConfig, FluidState, ParticleState).
 from __future__ import annotations
 
 import dataclasses
+import math
 import os
 from typing import Dict, List, Optional, Tuple
 
@@ -433,12 +434,18 @@ def load_case(case_dir: str, capacity: Optional[int] = None,
         lub = dataclasses.replace(lub, box_volume=float(
             (box[1] - box[0]) * (box[3] - box[2]) * (box[5] - box[4])))
     # the binned neighbor table is shared by contact, cohesion, and
-    # lubrication: its cutoff must cover the widest interaction ring
+    # lubrication: its cutoff must cover the widest interaction ring,
+    # and K (slots per particle) must cover the densest packing of that
+    # ring or the K-nearest truncation silently drops in-range partners
+    # (~5.2 spheres per cubic diameter at random close packing)
     cutoff = 1.6 * d_max
     if lmp.cohesion is not None:
         cutoff = max(cutoff, d_max + lmp.cohesion.smax + 0.3 * d_max)
     if lub is not None:
         cutoff = max(cutoff, lub.cut + 0.3 * d_max)
+    k_needed = int(math.ceil(5.5 * (cutoff / d_max) ** 3))
+    if k_needed > neighbor_k:
+        neighbor_k = min(k_needed, 160)
     dem_cfg = DEMConfig(
         dt=dt_dem, pair=lmp.pair, walls=lmp.walls, gravity=lmp.gravity,
         carrier_rho=lmp.carrier_rho, cohesion=lmp.cohesion,
@@ -525,10 +532,26 @@ def load_case(case_dir: str, capacity: Optional[int] = None,
     vel = None
     if lmp.initial_velocity is not None:
         vel = np.tile(np.asarray(lmp.initial_velocity), (n, 1))
+    lat_geom = None
+    if backend == "lattice":
+        from sedifoam_tpu.dem import lattice as _lat
+        lat_geom = _lat.make_geom(dem_cfg)
+        # size M to the initial packing with headroom (overflowing a bin
+        # silently drops contacts; diagnostics reports lattice_unslotted)
+        slot, _ = _lat.bin_slots(lat_geom, jnp.asarray(lmp.pos, dtype),
+                                 jnp.ones(n, bool))
+        import numpy as _np
+        occ = int((_np.asarray(slot) < n).sum(axis=0).max())
+        m_needed = max(occ + 2, 4)   # headroom for local densification
+        if m_needed != lat_geom.M:
+            dem_cfg = dataclasses.replace(dem_cfg, max_per_bin=m_needed)
+            cfg = dataclasses.replace(cfg, dem=dem_cfg)
+            lat_geom = _lat.make_geom(dem_cfg)
     particles = make_particles(
         pos=lmp.pos, radius=lmp.diameter / 2.0, density=lmp.density,
         vel=vel, ptype=lmp.ptype, tag=lmp.tag,
         capacity=capacity or n, n_walls=len(lmp.walls),
+        lattice_geom=lat_geom,
         neighbor_k=neighbor_k if backend == "binned" else None, dtype=dtype)
 
     return cfg, fluid, particles, controls

@@ -22,10 +22,12 @@ from sedifoam_tpu.grid import Grid
 from sedifoam_tpu.solver import SimState
 
 
-def compute(state: SimState, grid: Grid, cfg: FluidConfig
+def compute(state: SimState, grid: Grid, cfg: FluidConfig, dem_cfg=None
             ) -> Dict[str, jnp.ndarray]:
     fs, ps = state.fluid, state.particles
     V = grid.cell_volume
+    if not grid.uniform:
+        V = jnp.asarray(V, fs.alpha.dtype)
     dt = cfg.dt
 
     # Courant number: max over faces of |phi|/A * dt / d (facewise so
@@ -62,7 +64,7 @@ def compute(state: SimState, grid: Grid, cfg: FluidConfig
     total_vol = jnp.sum(vol)
     avg_vel = jnp.sum(ps.vel * vol[:, None], axis=0) / (total_vol + 1e-30)
 
-    return {
+    out = {
         "courant": co,
         "courant_rel": co_r,
         "alpha_mean": alpha_mean,
@@ -78,6 +80,12 @@ def compute(state: SimState, grid: Grid, cfg: FluidConfig
             jnp.sqrt(jnp.sum(ps.vel ** 2, axis=-1)) * ps.active),
         "continuity_err": jnp.max(jnp.abs(_ops().div_flux(fs.phi, grid))),
     }
+    if dem_cfg is not None and dem_cfg.backend == "lattice":
+        # lattice bins silently drop overflow particles from contacts;
+        # surface any unslotted actives (must stay 0 in a healthy run)
+        slotted = jnp.sum(ps.nbr_idx < ps.n_capacity)
+        out["lattice_unslotted"] = jnp.sum(ps.active) - slotted
+    return out
 
 
 def _ops():

@@ -37,7 +37,7 @@ class Simulation:
         self.probes = (Probes(cfg.grid, probe_locations)
                        if probe_locations else None)
         self.diag_fn = jax.jit(
-            lambda s: _diag.compute(s, cfg.grid, cfg.fluid))
+            lambda s: _diag.compute(s, cfg.grid, cfg.fluid, cfg.dem))
         self.wall_time = 0.0
         self.log = []
 
