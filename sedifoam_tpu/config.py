@@ -107,10 +107,13 @@ class DEMConfig:
     # group, e.g. the frozen bed of transport-bedload/in.lammps): their
     # total force/torque is zeroed after all force fixes, LAMMPS-style
     frozen_types: Tuple[int, ...] = ()
-    # physically re-sort the SoA by bin at every rebuild (binned backend):
-    # partner gathers then read a local HBM window instead of thrashing
-    # the whole particle set. Particle identity is the tag, not the row.
-    sort_on_rebuild: bool = True
+    # physically re-sort the SoA by bin at every rebuild (binned backend).
+    # Measured on one v5e chip this is a net ~11% LOSS (TPU row gathers
+    # don't reward index locality and the permutation adds rebuild cost),
+    # so it is off by default; enable for multi-chip runs, where the
+    # bin-sorted order x-slab-aligns the capacity sharding with the grid
+    # decomposition and doubles as particle re-bucketing (parallel/mesh).
+    sort_on_rebuild: bool = False
 
     def periodic_len(self) -> Tuple[Optional[float], ...]:
         """Domain length per axis for periodic axes, None elsewhere."""

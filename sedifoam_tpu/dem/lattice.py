@@ -342,7 +342,7 @@ def lattice_pair_forces(state: ParticleState, cfg: DEMConfig,
 
 
 def carry_shear_lattice(old_slot, new_slot, old_shear, geom: LatticeGeom,
-                        n: int, k_compact: int = 16):
+                        n: int, k_compact: int = 12):
     """Carry per-pair shear across a rebuild.
 
     1) compact the old lattice: per old slot (mi, bin), its pairs are the
@@ -358,36 +358,43 @@ def carry_shear_lattice(old_slot, new_slot, old_shear, geom: LatticeGeom,
     halo_old = _halo_exchange(old_slot, geom)
 
     # --- 1) compact extraction in old-slot space ------------------------
-    # candidate blocks, all shaped ids (M_me, Mc, S) / shear (3, M_me, Mc, S)
-    id_blocks, sh_blocks = [], []
+    # RUNNING top-k over per-offset candidate blocks (materializing all
+    # 2*n_off*M candidates at once is multi-GB at production scale)
+    def _merge(best, block_ids, block_sh):
+        # best: (ids (M,S,Kc), sh (3,M,S,Kc), mag (M,S,Kc));
+        # block: ids (M, Mc, S), sh (3, M, Mc, S)
+        b_ids = jnp.moveaxis(block_ids, 1, -1)          # (M, S, Mc)
+        b_sh = jnp.moveaxis(block_sh, 2, -1)            # (3, M, S, Mc)
+        b_mag = jnp.sum(b_sh * b_sh, axis=0)            # (M, S, Mc)
+        ids_c = jnp.concatenate([best[0], b_ids], axis=-1)
+        sh_c = jnp.concatenate([best[1], b_sh], axis=-1)
+        mag_c = jnp.concatenate([best[2], b_mag], axis=-1)
+        topmag, sel = jax.lax.top_k(mag_c, k_compact)
+        new_ids = jnp.take_along_axis(ids_c, sel, axis=-1)
+        new_sh = jnp.stack([
+            jnp.take_along_axis(sh_c[c], sel, axis=-1) for c in range(3)])
+        return (new_ids, new_sh, topmag)
+
+    dtype = old_shear.dtype
+    best = (jnp.full((M, S, k_compact), n, jnp.int32),
+            jnp.zeros((3, M, S, k_compact), dtype),
+            jnp.full((M, S, k_compact), -1.0, dtype))
     for o_i, off in enumerate(geom_offsets(geom)):
         d = geom.flat_delta(off)
         # i-side: I am mi at bin; partner j = slot (mj, bin + d)
         pj = _shift(halo_old, d) if d != 0 else halo_old       # (M, S)
-        id_blocks.append(jnp.broadcast_to(pj[None, :, :], (M, M, S)))
-        sh_blocks.append(old_shear[:, o_i])                    # (3,M,M,S)
+        best = _merge(best, jnp.broadcast_to(pj[None, :, :], (M, M, S)),
+                      old_shear[:, o_i])
         # j-side: I am mj at bin; pair stored at bin-d as (mi', me):
         # shifted view puts it at my bin; swap (mi', me) so my slot leads
         pi = _shift(halo_old, -d) if d != 0 else halo_old
-        id_blocks.append(jnp.broadcast_to(pi[None, :, :], (M, M, S)))
         sh_b = _shift(old_shear[:, o_i], -d) if d != 0 \
             else old_shear[:, o_i]                             # (3,Mi',Me,S)
-        sh_blocks.append(-jnp.swapaxes(sh_b, 1, 2))            # (3,Me,Mi',S)
-    ids = jnp.concatenate(id_blocks, axis=1)          # (M, C, S)
-    sh = jnp.concatenate(sh_blocks, axis=2)           # (3, M, C, S)
-    C = ids.shape[1]
-    k_compact = min(k_compact, C)
-
-    mag = jnp.sum(sh * sh, axis=0)                    # (M, C, S)
-    mag_t = jnp.moveaxis(mag, 1, -1)                  # (M, S, C)
-    topmag, sel = jax.lax.top_k(mag_t, k_compact)     # (M, S, Kc)
-    ids_t = jnp.moveaxis(ids, 1, -1)                  # (M, S, C)
-    comp_ids = jnp.take_along_axis(ids_t, sel, axis=-1)   # (M, S, Kc)
+        best = _merge(best, jnp.broadcast_to(pi[None, :, :], (M, M, S)),
+                      -jnp.swapaxes(sh_b, 1, 2))               # (3,Me,Mi',S)
+    comp_ids, comp_sh, topmag = best
     live = topmag > 0.0
     comp_ids = jnp.where(live, comp_ids, n)
-    comp_sh = jnp.stack([
-        jnp.take_along_axis(jnp.moveaxis(sh[c], 1, -1), sel, axis=-1)
-        for c in range(3)])                           # (3, M, S, Kc)
     comp_sh = jnp.where(live[None], comp_sh, 0.0)
 
     # --- 2) old-slot-major -> new-slot-major (by particle id) ----------
