@@ -76,9 +76,14 @@ def build_case(n_particles=2048, nx=32, ny=64, nz=32, sub_steps=10,
         WallSpec(style="zplane", lo=0.0, hi=L[2], params=pair),
     )
     r = 5e-4
+    # K sizing: the table must hold every partner that can touch before
+    # the next rebuild, i.e. within 2r + skin = 1.3 d. At random close
+    # packing that is ~5.2*(1.3)^3 ~ 12 neighbors; K=16 gives 30%
+    # headroom (dense-equivalence tests guard the bound), and each K is
+    # ~0.4 ms of partner row gather per substep at 131k.
     dem_cfg = DEMConfig(dt=dt / sub_steps, pair=pair, walls=walls,
                         gravity=(0.0, -9.81, 0.0),
-                        backend=backend, nbr_k=24, max_per_bin=10,
+                        backend=backend, nbr_k=16, max_per_bin=10,
                         cutoff=2 * r * 1.6, skin=0.6 * r,
                         domain_lo=(0.0, 0.0, 0.0), domain_hi=L)
     lat_geom = _lat.make_geom(dem_cfg) if backend == "lattice" else None
@@ -101,7 +106,7 @@ def build_case(n_particles=2048, nx=32, ny=64, nz=32, sub_steps=10,
     pos += rng.uniform(-0.05 * r, 0.05 * r, pos.shape)
     particles = make_particles(pos=pos, radius=r, density=2500.0,
                                capacity=n_particles, n_walls=len(walls),
-                               neighbor_k=24 if backend == "binned" else None,
+                               neighbor_k=16 if backend == "binned" else None,
                                lattice_geom=lat_geom,
                                dtype=jnp.float32)
     fluid = init_fluid(grid, Ub=jnp.zeros((3,) + grid.shape, jnp.float32
