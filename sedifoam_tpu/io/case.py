@@ -231,7 +231,7 @@ def _read_field_bc(field_file: str, patch_faces: Dict[str, List[int]],
 
 
 def load_case(case_dir: str, capacity: Optional[int] = None,
-              backend: str = "dense", neighbor_k: int = 32,
+              backend: str = "dense", neighbor_k: Optional[int] = None,
               dtype=jnp.float64):
     """Load a reference case -> (SimConfig, FluidState, ParticleState,
     CaseControls). backend: DEM contact backend ('dense' | 'binned')."""
@@ -437,21 +437,32 @@ def load_case(case_dir: str, capacity: Optional[int] = None,
     # lubrication: its cutoff must cover the widest interaction ring,
     # and K (slots per particle) must cover the densest packing of that
     # ring or the K-nearest truncation silently drops in-range partners
-    # (~5.2 spheres per cubic diameter at random close packing)
+    # (~5.2 spheres per cubic diameter at random close packing).
+    # With contact only, correctness needs all partners within
+    # 2*r_max + skin; the default K derives from that bound with ~35%
+    # headroom (d_min in the denominator guards polydispersity) —
+    # verified bitwise vs the dense backend at just-touching density.
+    d_min = float(np.min(lmp.diameter)) if lmp.diameter is not None         else d_max
+    skin = 0.3 * d_max
     cutoff = 1.6 * d_max
     if lmp.cohesion is not None:
-        cutoff = max(cutoff, d_max + lmp.cohesion.smax + 0.3 * d_max)
+        cutoff = max(cutoff, d_max + lmp.cohesion.smax + skin)
     if lub is not None:
-        cutoff = max(cutoff, lub.cut + 0.3 * d_max)
-    k_needed = int(math.ceil(5.5 * (cutoff / d_max) ** 3))
-    if k_needed > neighbor_k:
-        neighbor_k = min(k_needed, 160)
+        cutoff = max(cutoff, lub.cut + skin)
+    if neighbor_k is None:
+        ring = (d_max + skin) if (lmp.cohesion is None and lub is None)             else cutoff
+        neighbor_k = int(min(max(
+            16, math.ceil(1.35 * 5.2 * (ring / d_min) ** 3)), 160))
+    else:
+        k_needed = int(math.ceil(5.5 * (cutoff / d_max) ** 3))
+        if k_needed > neighbor_k:
+            neighbor_k = min(k_needed, 160)
     dem_cfg = DEMConfig(
         dt=dt_dem, pair=lmp.pair, walls=lmp.walls, gravity=lmp.gravity,
         carrier_rho=lmp.carrier_rho, cohesion=lmp.cohesion,
         lubrication=lub,
         backend=backend, nbr_k=neighbor_k, max_per_bin=10,
-        cutoff=cutoff, skin=0.3 * d_max,
+        cutoff=cutoff, skin=skin,
         domain_lo=(box[0], box[2], box[4]),
         domain_hi=(box[1], box[3], box[5]),
         periodic=lmp.periodic,
