@@ -105,16 +105,29 @@ def main():
                 # compares (expMueller0X/postprocessing.py): UaMean on
                 # lineY3 (06) / lineY3..5 (09); lower lines are plotted
                 # by neither
+                # a bubbling bed is chaotic: the time-mean velocity
+                # AMPLITUDE swings ~2x between realizations (measured:
+                # lineY3 RMS 0.13 vs 0.34 across two 10 s runs) while the
+                # profile STRUCTURE is robust (corr 0.97-0.99 both). Gate
+                # on structure + the stable alphaMean bed shape; record
+                # RMS with a loose sanity bound.
                 lines = (("lineY3",) if name.endswith("06")
                          else ("lineY3", "lineY4", "lineY5"))
                 errs = [v for k, v in data.items()
                         if k.endswith("_uy_rms_err")
                         and k.split("_uy")[0] in lines]
+                corrs = [v for k, v in data.items()
+                         if k.endswith("_uy_corr")
+                         and k.split("_uy")[0] in lines]
                 aerrs = [v for k, v in data.items()
                          if k.endswith("_alpha_rms_err")
                          and k.split("_alpha")[0] in ("lineY1", "lineY2")]
-                return bool(errs) and max(errs) < 0.30 and \
-                    (not aerrs or max(aerrs) < 0.30)
+                ok = bool(errs) and max(errs) < 0.50
+                if corrs:
+                    ok &= min(corrs) > 0.90
+                if aerrs:
+                    ok &= max(aerrs) < 0.15
+                return bool(ok)
             if name == "expWachem_PCM":
                 ok = data.get("dp_vs_bed_weight_rel_err", 1.0) < 0.20
                 ok &= data.get("continuity_err", 1e9) < 0.1

@@ -89,6 +89,8 @@ def main():
             denom = max(np.abs(bench[:, 2]).max(), 1e-9)
             result[f"{name}_uy_rms_err"] = float(
                 np.sqrt(np.mean((vy - bench[:, 2]) ** 2)) / denom)
+            result[f"{name}_uy_corr"] = float(
+                np.corrcoef(vy, bench[:, 2])[0, 1])
         bench_a = os.path.join(case_dir, "data", "sets_bench",
                                f"{name}_alphaMean.xy")
         if os.path.exists(bench_a):
