@@ -38,7 +38,7 @@ def _judge(name, data):
         if corrs:
             ok &= min(corrs) > 0.90
         if aerrs:
-            ok &= max(aerrs) < 0.15
+            ok &= max(aerrs) < 0.20
         return bool(ok)
     if name == "expWachem_PCM":
         ok = data.get("dp_vs_bed_weight_rel_err", 1.0) < 0.20
