@@ -36,8 +36,9 @@ def maybe_rebuild_neighbors(state: ParticleState, cfg: DEMConfig,
 
         def do_rebuild_lat(st: ParticleState) -> ParticleState:
             new_slot, _overflow = _lat.bin_slots(geom, st.pos, st.active)
-            shear = _lat.carry_shear_lattice(st.nbr_idx, new_slot,
-                                             st.shear, geom, st.n_capacity)
+            shear = _lat.carry_shear_lattice(
+                st.nbr_idx, new_slot, st.shear, geom, st.n_capacity,
+                k_compact=max(16, cfg.nbr_k))
             return st._replace(nbr_idx=new_slot, shear=shear,
                                pos_at_build=st.pos)
 

@@ -342,8 +342,12 @@ def lattice_pair_forces(state: ParticleState, cfg: DEMConfig,
 
 
 def carry_shear_lattice(old_slot, new_slot, old_shear, geom: LatticeGeom,
-                        n: int, k_compact: int = 12):
+                        n: int, k_compact: int = 16):
     """Carry per-pair shear across a rebuild.
+
+    k_compact bounds the carried contacts per particle; callers pass the
+    case's touch-ring K bound (DEMConfig.nbr_k, >= max coordination ~12
+    plus headroom) so HCP-like packings don't silently drop history.
 
     1) compact the old lattice: per old slot (mi, bin), its pairs are the
        i-side rows (o, mj) plus the j-side rows (o, mi') shifted back —

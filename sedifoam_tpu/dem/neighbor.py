@@ -177,10 +177,13 @@ def permute_particle_state(st: ParticleState, order) -> ParticleState:
     if st.nbr_idx.shape[0]:
         # relabel partner ids via a row gather of the (N+1, 1) rank table
         idx_perm = rank_ext[:, None][idx_perm][..., 0]
-    if st.shear.ndim == 3 and st.shear.shape[1] == st.shear.shape[2] == n:
-        shear = st.shear[:, order][:, :, order]  # dense (3, N, N)
+        # binned (3, K, N): the K (slot) axis stays fixed; only N moves.
+        # Keying this on shapes misclassified K == capacity cases (tiny
+        # meshes) as dense and permuted the slot axis too, decoupling the
+        # shear rows from nbr_idx rows — branch on the table instead.
+        shear = p_minor(st.shear)
     else:
-        shear = p_minor(st.shear)                # binned (3, K, N)
+        shear = st.shear[:, order][:, :, order]  # dense (3, N, N)
 
     return st._replace(
         pos=p_rows(st.pos), vel=p_rows(st.vel), omega=p_rows(st.omega),

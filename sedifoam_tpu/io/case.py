@@ -451,12 +451,22 @@ def load_case(case_dir: str, capacity: Optional[int] = None,
         cutoff = max(cutoff, lub.cut + skin)
     if neighbor_k is None:
         ring = (d_max + skin) if (lmp.cohesion is None and lub is None)             else cutoff
-        neighbor_k = int(min(max(
-            16, math.ceil(1.35 * 5.2 * (ring / d_min) ** 3)), 160))
+        k_needed = int(max(16, math.ceil(1.35 * 5.2 * (ring / d_min) ** 3)))
+        neighbor_k = min(k_needed, 160)
     else:
         k_needed = int(math.ceil(5.5 * (cutoff / d_max) ** 3))
         if k_needed > neighbor_k:
             neighbor_k = min(k_needed, 160)
+    if k_needed > 160:
+        # the K-nearest table would silently drop in-range partners — be
+        # loud instead of clamping quietly (wide cohesion/lubrication
+        # rings with small d_min under polydispersity land here)
+        import warnings
+        warnings.warn(
+            f"neighbor table needs K={k_needed} slots to cover the "
+            f"interaction ring (cutoff={cutoff:.4g}, d_min={d_min:.4g}) "
+            f"but is capped at 160; in-range partners beyond the 160 "
+            f"nearest will be DROPPED", stacklevel=2)
     dem_cfg = DEMConfig(
         dt=dt_dem, pair=lmp.pair, walls=lmp.walls, gravity=lmp.gravity,
         carrier_rho=lmp.carrier_rho, cohesion=lmp.cohesion,

@@ -6,7 +6,9 @@ decomposition, SURVEY.md section 5.8):
 - grid fields shard along grid-x; GSPMD inserts the halo exchanges the
   FV stencils need (the OpenFOAM processor-patch analogue);
 - particle arrays shard along the capacity axis. With
-  DEMConfig.sort_on_rebuild (default for the binned backend) the SoA is
+  DEMConfig.sort_on_rebuild (OFF by default — the permutation costs ~11%
+  single-chip and TPU row gathers don't reward locality; multi-chip runs
+  must enable it for slab alignment) the SoA is
   re-sorted by bin id — x-major, matching the grid decomposition — at
   every neighbor rebuild, so each device's contiguous particle block
   corresponds to an x-slab of space: the (K, N) partner gathers and the
