@@ -92,7 +92,14 @@ class DEMConfig:
     # ---- contact enumeration backend ----
     # 'dense': all-pairs with (N,N,3) history — exact, best below ~10k
     # 'binned': Verlet-skin neighbor tables — scales to large N
+    # 'pencil': gather-free static-shift enumeration on (pencil, y-rank)
+    #           slots with a fused Pallas kernel — fastest at scale on
+    #           TPU (dem/pencil.py); x/z-nonperiodic cases only
+    # 'lattice': experimental roll-based bins (dem/lattice.py)
     backend: str = "dense"
+    # pencil-backend geometry (dem/pencil.PencilGeom), required when
+    # backend == 'pencil'
+    pencil: Optional[object] = None
     nbr_k: int = 48              # neighbor slots per particle
     max_per_bin: int = 8         # candidate slots per bin
     cutoff: float = 0.0          # bin pitch: >= max diameter + skin
@@ -268,3 +275,7 @@ class FluidConfig:
     dns_sigma: float = 0.1
     dns_k_upper: float = 1e9
     dns_k_lower: float = 0.0
+    # accumulation policy for global reductions (audits, forcing means):
+    # "compensated" = Neumaier-blocked sums (utils/accum.py; ~f64-quality
+    # on the f32 TPU path), "native" = plain jnp.sum (round-2 behavior)
+    dtype_policy: str = "compensated"

@@ -54,6 +54,23 @@ def maybe_rebuild_neighbors(state: ParticleState, cfg: DEMConfig,
         need = max_d2 > (0.5 * cfg.skin) ** 2
         return jax.lax.cond(need, do_rebuild_lat, lambda st: st, state)
 
+    if cfg.backend == "pencil":
+        from sedifoam_tpu.dem import pencil as _pen
+
+        geom = cfg.pencil
+
+        def do_rebuild_pen(st: ParticleState) -> ParticleState:
+            return _pen.rebuild_state(
+                geom, st, cfg.domain_lo[1], cfg.domain_hi[1],
+                k_compact=max(16, cfg.nbr_k))
+
+        if force:
+            return do_rebuild_pen(state)
+        disp = state.pos - state.pos_at_build
+        max_d2 = jnp.max(jnp.sum(disp * disp, axis=-1) * state.active)
+        need = max_d2 > (0.5 * cfg.skin) ** 2
+        return jax.lax.cond(need, do_rebuild_pen, lambda st: st, state)
+
     if cfg.backend != "binned":
         return state
     from sedifoam_tpu.dem.neighbor import (carry_over_shear, make_binner,
@@ -99,6 +116,21 @@ def compute_forces(state: ParticleState, cfg: DEMConfig,
         f_pair, tq_pair, shear = pair_forces_binned(
             state, cfg.pair, dt, state.nbr_idx, shearupdate,
             periodic_len=plen)
+    elif cfg.backend == "pencil":
+        from sedifoam_tpu.dem import pencil as _pen
+        if cfg.cohesion is not None or cfg.lubrication is not None:
+            raise NotImplementedError(
+                "cohesion/lubrication are not wired for the pencil "
+                "backend; use backend='binned'")
+        geom = cfg.pencil
+        use_k = _pen.use_kernel()
+        fields = _pen.pack_fields(
+            geom, state, dtype=jnp.float32 if use_k else None)
+        fn = _pen.pair_forces_pencil if use_k \
+            else _pen.pair_forces_pencil_xla
+        f3, t3, shear = fn(geom, cfg.pair, dt, fields,
+                           state.shear.astype(fields.dtype), shearupdate)
+        f_pair, tq_pair = _pen.unpack_forces(geom, f3, t3, state.pos.dtype)
     elif cfg.backend == "lattice":
         from sedifoam_tpu.dem import lattice as _lat
         if cfg.cohesion is not None or cfg.lubrication is not None:

@@ -60,6 +60,12 @@ def shard_state(state: SimState, mesh: Mesh, axis: str = "d") -> SimState:
         # particle-capacity leading axis
         if shape[0] == capacity and capacity % n_dev == 0:
             return P(axis, *([None] * (x.ndim - 1)))
+        # particle-capacity MINOR axis: the (K, N) neighbor table, the
+        # (3, K, N) contact history and the (3, W, N) wall history — the
+        # largest DEM state. Sharding N (the 128-lane axis) makes
+        # per-device bytes drop 1/n_dev; round-2 replicated these.
+        if x.ndim >= 2 and shape[-1] == capacity and capacity % n_dev == 0:
+            return P(*([None] * (x.ndim - 1)), axis)
         # grid scalar (nx, ny, nz) or vector (3, nx, ny, nz)
         if x.ndim >= 3 and shape[-3] == nx and nx % n_dev == 0:
             lead = [None] * (x.ndim - 3)

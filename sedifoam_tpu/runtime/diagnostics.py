@@ -24,7 +24,10 @@ from sedifoam_tpu.solver import SimState
 
 def compute(state: SimState, grid: Grid, cfg: FluidConfig, dem_cfg=None
             ) -> Dict[str, jnp.ndarray]:
+    from sedifoam_tpu.utils.accum import stable_dot, stable_sum
+
     fs, ps = state.fluid, state.particles
+    pol = getattr(cfg, "dtype_policy", "compensated")
     V = grid.cell_volume
     if not grid.uniform:
         V = jnp.asarray(V, fs.alpha.dtype)
@@ -48,21 +51,31 @@ def compute(state: SimState, grid: Grid, cfg: FluidConfig, dem_cfg=None
         rel = jnp.abs(fs.phia[a] - fs.phib[a])
         co_r = jnp.maximum(co_r, jnp.max(rel * inv_ad) * dt)
 
-    # particle->fluid momentum source total (Ftotal2 analogue)
+    # particle->fluid momentum source total (Ftotal2 analogue) —
+    # compensated accumulation (enhancedCloud.C does these in f64)
     one_minus = 1.0 - fs.alpha
-    f_total = jnp.stack([jnp.sum(fs.Asrc[c] * V * one_minus)
+    f_total = jnp.stack([stable_dot(fs.Asrc[c] * V, one_minus, pol)
                          for c in range(3)])
 
     # dispersed-phase stats
-    alpha_mean = jnp.sum(fs.alpha * V) / grid.total_volume
+    alpha_mean = stable_dot(fs.alpha, V, pol) / grid.total_volume
 
     # solid momentum total (Utotal2 analogue)
-    u_solid = jnp.stack([jnp.sum(fs.Ua[c] * V * fs.alpha) for c in range(3)])
+    u_solid = jnp.stack([stable_dot(fs.Ua[c] * V, fs.alpha, pol)
+                         for c in range(3)])
 
     # average particle velocity (averageInfo)
     vol = ps.volume * ps.active
-    total_vol = jnp.sum(vol)
-    avg_vel = jnp.sum(ps.vel * vol[:, None], axis=0) / (total_vol + 1e-30)
+    total_vol = stable_sum(vol, pol)
+    avg_vel = jnp.stack([stable_dot(ps.vel[:, c], vol, pol)
+                         for c in range(3)]) / (total_vol + 1e-30)
+
+    # audit drift: how much the plain f32 tree-sum differs from the
+    # compensated accumulator on the largest-cancellation total — a
+    # live measure of f32 accumulation error (recorded per battery case)
+    asrc_y_plain = jnp.sum(fs.Asrc[1] * V * one_minus)
+    audit_drift = jnp.abs(asrc_y_plain - f_total[1]) / (
+        jnp.abs(f_total[1]) + 1e-30)
 
     out = {
         "courant": co,
@@ -79,12 +92,21 @@ def compute(state: SimState, grid: Grid, cfg: FluidConfig, dem_cfg=None
         "max_particle_speed": jnp.max(
             jnp.sqrt(jnp.sum(ps.vel ** 2, axis=-1)) * ps.active),
         "continuity_err": jnp.max(jnp.abs(_ops().div_flux(fs.phi, grid))),
+        "audit_drift_asrc_y": audit_drift,
     }
     if dem_cfg is not None and dem_cfg.backend == "lattice":
         # lattice bins silently drop overflow particles from contacts;
         # surface any unslotted actives (must stay 0 in a healthy run)
         slotted = jnp.sum(ps.nbr_idx < ps.n_capacity)
         out["lattice_unslotted"] = jnp.sum(ps.active) - slotted
+    if dem_cfg is not None and dem_cfg.backend == "pencil":
+        from sedifoam_tpu.dem import pencil as _pen
+        geom = dem_cfg.pencil
+        unslotted, missed, tail = _pen.diagnostics(
+            geom, ps, geom.ring, dem_cfg.domain_lo[1], dem_cfg.domain_hi[1])
+        out["pencil_unslotted"] = unslotted
+        out["pencil_missed_pairs"] = missed
+        out["pencil_audit_tail"] = tail
     return out
 
 

@@ -5,9 +5,15 @@ import numpy as np
 
 
 def by_tag(state, *fields):
-    """Return the given (N,...) fields of a ParticleState sorted by tag."""
+    """Return the given (N,...) fields of a ParticleState sorted by tag.
+
+    Only ACTIVE rows are returned, so states of different capacity (the
+    pencil backend pads to its slot-lattice capacity) compare directly.
+    """
     tag = np.asarray(state.tag)
-    order = np.argsort(tag, kind="stable")
+    act = np.asarray(state.active)
+    rows = np.where(act)[0]
+    order = rows[np.argsort(tag[rows], kind="stable")]
     out = []
     for f in fields:
         out.append(np.asarray(getattr(state, f))[order])
