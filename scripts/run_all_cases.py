@@ -69,6 +69,48 @@ def main():
     t_mu = "1" if args.quick else "10"
     t_wa = "0.5" if args.quick else "3"
     avg0 = "0.5" if args.quick else "2"
+    mu_seeds = (0,) if args.quick else (0, 1, 2)
+
+    def run_mueller06_multiseed():
+        """>=3 realizations; the gate below is on the SEED-MEAN lineY3
+        profile (a single chaotic realization's amplitude swings ~2x;
+        the ensemble mean is what the experiment's long average sees)."""
+        import numpy as np
+        case_dir = ("/root/reference/cases/auto-testing/test-cases/"
+                    "expMueller06")
+        t0 = time.time()
+        data = {"seeds": list(mu_seeds)}
+        oks, profs = [], []
+        for s in mu_seeds:
+            out = os.path.join(RESULTS, f"expMueller06_profiles_seed{s}.npz")
+            ok, d, secs = run_json(
+                [PY, "scripts/validate_expMueller.py", "--case",
+                 "expMueller06", "--t-end", t_mu, "--t-avg-start", avg0,
+                 "--seed", str(s), "--out", out])
+            oks.append(ok)
+            prefix = f"seed{s}_" if s else ""
+            for k, v in d.items():
+                if k not in ("case", "t_end", "seeds"):
+                    data[prefix + k] = v
+            print(f"  - seed {s}: {'ok' if ok else 'FAIL'} ({secs:.0f}s)",
+                  flush=True)
+            if ok and os.path.exists(out):
+                profs.append(np.load(out)["lineY3"])
+        if profs:
+            bench = np.loadtxt(os.path.join(case_dir, "data", "sets_bench",
+                                            "lineY3_UaMean.xy"))
+            x = profs[0][:, 0]
+            denom = max(np.abs(bench[:, 2]).max(), 1e-9)
+            per_seed = [np.interp(bench[:, 0], x, p[:, 2]) for p in profs]
+            vy = np.mean(per_seed, axis=0)
+            data["seedmean_lineY3_uy_rms_err"] = float(
+                np.sqrt(np.mean((vy - bench[:, 2]) ** 2)) / denom)
+            data["seedmean_lineY3_uy_corr"] = float(
+                np.corrcoef(vy, bench[:, 2])[0, 1])
+            data["per_seed_lineY3_uy_rms_err"] = [
+                float(np.sqrt(np.mean((v - bench[:, 2]) ** 2)) / denom)
+                for v in per_seed]
+        return all(oks), data, time.time() - t0
 
     cases = {
         # CPU f64 golden CI tests (settling curve / collision traces)
@@ -79,10 +121,7 @@ def main():
         "xiaocase1": lambda: run_json(
             [PY, "scripts/validate_xiaocase1.py", "--t-end", t_x1,
              "--out", os.path.join(RESULTS, "xiaocase1_dp_curve.npz")]),
-        "expMueller06": lambda: run_json(
-            [PY, "scripts/validate_expMueller.py", "--case", "expMueller06",
-             "--t-end", t_mu, "--t-avg-start", avg0,
-             "--out", os.path.join(RESULTS, "expMueller06_profiles.npz")]),
+        "expMueller06": run_mueller06_multiseed,
         "expMueller09": lambda: run_json(
             [PY, "scripts/validate_expMueller.py", "--case", "expMueller09",
              "--t-end", t_mu, "--t-avg-start", avg0,
@@ -111,6 +150,18 @@ def main():
                 # profile STRUCTURE is robust (corr 0.97-0.99 both). Gate
                 # on structure + the stable alphaMean bed shape; record
                 # RMS with a loose sanity bound.
+                if "seedmean_lineY3_uy_rms_err" in data:
+                    # multi-seed run: the ensemble mean must hit a
+                    # TIGHTENED bound (0.25 vs the 0.50 single-seed
+                    # sanity bound), per VERDICT r2 weak #4
+                    ok = data["seedmean_lineY3_uy_rms_err"] < 0.25
+                    ok &= data["seedmean_lineY3_uy_corr"] > 0.90
+                    aerrs = [v for k, v in data.items()
+                             if k.endswith("_alpha_rms_err")
+                             and ("lineY1" in k or "lineY2" in k)]
+                    if aerrs:
+                        ok &= max(aerrs) < 0.20
+                    return bool(ok)
                 lines = (("lineY3",) if name.endswith("06")
                          else ("lineY3", "lineY4", "lineY5"))
                 errs = [v for k, v in data.items()
@@ -129,7 +180,8 @@ def main():
                     ok &= max(aerrs) < 0.20
                 return bool(ok)
             if name == "expWachem_PCM":
-                ok = data.get("dp_vs_bed_weight_rel_err", 1.0) < 0.20
+                # tightened round 3 (measured 8.7% in round 2)
+                ok = data.get("dp_vs_bed_weight_rel_err", 1.0) < 0.10
                 ok &= data.get("continuity_err", 1e9) < 0.1
                 ok &= data.get("alpha_min", -1.0) > -1e-4
                 if "dp_vs_baseline_rel_err" in data:

@@ -106,6 +106,7 @@ def main():
         "dp_vs_bed_weight_rel_err": abs(dp_mean / dp_bed - 1.0),
         "continuity_err": diag["continuity_err"],
         "alpha_min": diag["alpha_min"], "alpha_max": diag["alpha_max"],
+        "audit_drift_asrc_y": diag["audit_drift_asrc_y"],
     }
     if os.path.exists(args.baseline):
         base = np.load(args.baseline)
@@ -116,6 +117,9 @@ def main():
         np.savez(args.baseline, times=times, dp=dp, dp_mean=dp_mean)
         result["baseline_created"] = True
 
+    # per-phase wall split (writeCPUTime.H analogue) for the perf record
+    result["timing_split_ms"] = {
+        k: round(v * 1e3, 2) for k, v in sim.timing_split().items()}
     print(json.dumps(result))
     if args.out:
         np.savez(args.out + "_probes.npz", times=times, p=p, dp=dp)

@@ -69,6 +69,13 @@ def main():
         result["plateau_mean_bench"] = float(bench[bm, 1].mean())
         result["plateau_rel_err"] = abs(
             result["plateau_mean"] / result["plateau_mean_bench"] - 1.0)
+    # end-state audits incl. f32-vs-compensated accumulation drift
+    diag = {k: float(v) for k, v in sim.diag_fn(sim.state).items()}
+    for k in ("continuity_err", "audit_drift_asrc_y", "alpha_min"):
+        result[k] = diag[k]
+    # per-phase wall split (writeCPUTime.H analogue) for the perf record
+    result["timing_split_ms"] = {
+        k: round(v * 1e3, 2) for k, v in sim.timing_split().items()}
     print(json.dumps(result))
     if args.out:
         np.savez(args.out, times=times, dp=dp)

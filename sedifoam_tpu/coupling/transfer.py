@@ -35,7 +35,15 @@ def cell_volume_at(cells, grid: Grid, dtype):
 
 
 def scatter_to_grid(values, cells, active, grid: Grid):
-    """sum_p values_p -> host cells. values: (N,) or (N,3)."""
+    """sum_p values_p -> host cells. values: (N,) or (N,3).
+
+    Accumulation error note (dtype policy): the per-cell fan-in is
+    bounded by the particles physically inside one cell (O(10^2) at
+    packing), so the f32 segment-sum error is <= eps*log2(fanin) ~ 1e-6
+    relative — unlike the O(N) global audit sums, which use the
+    compensated accumulators in utils/accum.py. On the f64 CPU paths
+    (golden tests) this sum is f64 end to end.
+    """
     if values.ndim == 2:
         comps = [scatter_to_grid(values[:, j], cells, active, grid)
                  for j in range(values.shape[1])]

@@ -366,8 +366,12 @@ def adjust_channel_forcing(fs: FluidState, rUbA, grid: Grid,
         V = ops._const(grid.cell_volume, beta) + jnp.zeros_like(beta)
         Udir = jnp.einsum("c,cxyz->xyz", direction, U)
         bV = beta * V
-        mag_ubar_star = jnp.sum(Udir * bV) / jnp.sum(bV)
-        rub_avg = jnp.sum(rUbA * V) / jnp.sum(V)
+        # compensated global means: the forcing feedback integrates this
+        # error over thousands of steps (the reference does it in f64)
+        from sedifoam_tpu.utils.accum import stable_dot, stable_sum
+        pol = cfg.dtype_policy
+        mag_ubar_star = stable_dot(Udir, bV, pol) / stable_sum(bV, pol)
+        rub_avg = stable_dot(rUbA, V, pol) / stable_sum(V, pol)
         grad_p_plus = (f.mag_ubar - mag_ubar_star) / rub_avg
         dU = rUbA * grad_p_plus / jnp.maximum(beta, 1e-6)
         Ub = fs.Ub + direction[:, None, None, None] * dU[None]
