@@ -100,6 +100,10 @@ class DEMConfig:
     # pencil-backend geometry (dem/pencil.PencilGeom), required when
     # backend == 'pencil'
     pencil: Optional[object] = None
+    # binned backend: run the post-gather Hertz chain as a fused Pallas
+    # kernel (dem/fused.py). Engages on the TPU f32 path only; the XLA
+    # path is the reference implementation and runs everywhere else.
+    fused_chain: bool = True
     nbr_k: int = 48              # neighbor slots per particle
     max_per_bin: int = 8         # candidate slots per bin
     cutoff: float = 0.0          # bin pitch: >= max diameter + skin

@@ -111,11 +111,23 @@ def compute_forces(state: ParticleState, cfg: DEMConfig,
     """Total force/torque + contact history update, LAMMPS fix order."""
     dt = cfg.dt
     plen = cfg.periodic_len()
+    fused_wall_shear = None
     if cfg.backend == "binned":
-        from sedifoam_tpu.dem.neighbor import pair_forces_binned
-        f_pair, tq_pair, shear = pair_forces_binned(
-            state, cfg.pair, dt, state.nbr_idx, shearupdate,
-            periodic_len=plen)
+        import jax as _jax
+        if cfg.fused_chain and _jax.default_backend() == "tpu" and \
+                state.pos.dtype == jnp.float32:
+            from sedifoam_tpu.dem.fused import (pair_forces_binned_fused,
+                                                walls_fusible)
+            fuse_walls = cfg.walls if walls_fusible(cfg.walls) else ()
+            f_pair, tq_pair, shear, fused_wall_shear = \
+                pair_forces_binned_fused(
+                    state, cfg.pair, dt, state.nbr_idx, shearupdate,
+                    periodic_len=plen, walls=fuse_walls)
+        else:
+            from sedifoam_tpu.dem.neighbor import pair_forces_binned
+            f_pair, tq_pair, shear = pair_forces_binned(
+                state, cfg.pair, dt, state.nbr_idx, shearupdate,
+                periodic_len=plen)
     elif cfg.backend == "pencil":
         from sedifoam_tpu.dem import pencil as _pen
         if cfg.cohesion is not None or cfg.lubrication is not None:
@@ -143,8 +155,14 @@ def compute_forces(state: ParticleState, cfg: DEMConfig,
     else:
         f_pair, tq_pair, shear = pair_forces(state, cfg.pair, dt, shearupdate,
                                              periodic_len=plen)
-    f_wall, tq_wall, wall_shear = wall_forces(
-        state, cfg.walls, dt, step_time, shearupdate)
+    if fused_wall_shear is not None:
+        # wall pass already fused into the pair kernel
+        f_wall = jnp.zeros_like(state.vel)
+        tq_wall = jnp.zeros_like(state.vel)
+        wall_shear = fused_wall_shear
+    else:
+        f_wall, tq_wall, wall_shear = wall_forces(
+            state, cfg.walls, dt, step_time, shearupdate)
 
     g = jnp.asarray(cfg.gravity, state.vel.dtype)
     f_grav = state.mass[:, None] * g[None, :]
@@ -169,15 +187,26 @@ def compute_forces(state: ParticleState, cfg: DEMConfig,
     torque = tq_pair + tq_wall
 
     if cfg.lubrication is not None:
+        # wall-bounded suspension volume for the VF-corrected FLD terms
+        # (pair_lubricate_poly.cpp:514-539, recomputed per step for
+        # moving walls :152-177); falls back to the data-file box when
+        # no plane walls bound the domain
+        from sedifoam_tpu.dem.lubrication import wall_bounded_volume
+        vol_T = None
+        if cfg.walls:
+            vol_T = wall_bounded_volume(cfg.domain_lo, cfg.domain_hi,
+                                        cfg.walls, step_time)
         if cfg.backend == "binned":
             from sedifoam_tpu.dem.lubrication import (
                 lubrication_forces_binned)
             f_lub, tq_lub = lubrication_forces_binned(
-                state, cfg.lubrication, state.nbr_idx, periodic_len=plen)
+                state, cfg.lubrication, state.nbr_idx, periodic_len=plen,
+                vol_T=vol_T)
         else:
             from sedifoam_tpu.dem.lubrication import lubrication_forces
             f_lub, tq_lub = lubrication_forces(state, cfg.lubrication,
-                                               periodic_len=plen)
+                                               periodic_len=plen,
+                                               vol_T=vol_T)
         force = force + f_lub
         torque = torque + tq_lub
 

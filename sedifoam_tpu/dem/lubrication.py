@@ -26,6 +26,7 @@ from typing import Tuple
 
 import jax.numpy as jnp
 
+from sedifoam_tpu.config import WALL_ZCYLINDER
 from sedifoam_tpu.dem.state import ParticleState
 
 
@@ -88,6 +89,33 @@ def _pairwise_lub(p, mu, delta, r, within, radi, radj, vi, vj, wi, wj, xl):
     return fpair, tq, wt
 
 
+def wall_bounded_volume(box_lo, box_hi, walls, step_time=0.0):
+    """Effective V_T for the volume-fraction correction when plane walls
+    bound the suspension (pair_lubricate_poly.cpp:514-539: each fix-wall
+    side overrides the domain extent on its axis; moving walls trigger a
+    per-step recompute, :152-177). Wiggled walls shift both sides by the
+    same offset walls.py applies; jnp trig keeps it traceable when
+    step_time is a scan index. Returns a scalar (python float for static
+    walls)."""
+    lo = list(box_lo)
+    hi = list(box_hi)
+    for w in walls:
+        if w.style == WALL_ZCYLINDER:
+            continue      # reference's wall volume logic is plane-only
+        a = w.axis
+        wlo, whi = w.lo, w.hi
+        if w.wiggle and w.wiggle_axis == a and w.period > 0.0:
+            arg = 2.0 * math.pi / w.period * step_time
+            off = w.amplitude - w.amplitude * jnp.cos(arg)
+            wlo = None if wlo is None else wlo + off
+            whi = None if whi is None else whi + off
+        if wlo is not None:
+            lo[a] = wlo
+        if whi is not None:
+            hi[a] = whi
+    return (hi[0] - lo[0]) * (hi[1] - lo[1]) * (hi[2] - lo[2])
+
+
 @dataclasses.dataclass(frozen=True)
 class LubricationParams:
     """pair_style lubricate/poly mu flaglog flagfld cutinner cutoff
@@ -104,9 +132,10 @@ class LubricationParams:
 
 
 def lubrication_forces(state: ParticleState, p: LubricationParams,
-                       periodic_len=None
+                       periodic_len=None, vol_T=None
                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns (force (N,3), torque (N,3))."""
+    """Returns (force (N,3), torque (N,3)). vol_T overrides p.box_volume
+    (wall-bounded volume, see wall_bounded_volume)."""
     mu = p.mu
     x, v, w = state.pos, state.vel, state.omega
     rad = state.radius
@@ -119,7 +148,8 @@ def lubrication_forces(state: ParticleState, p: LubricationParams,
     # ---- isotropic FLD terms (with volume-fraction correction) --------
     if p.flagfld:
         vol_p = jnp.sum(state.volume * active)
-        vf = vol_p / p.box_volume if p.flag_vf else 0.0
+        vol = p.box_volume if vol_T is None else vol_T
+        vf = vol_p / vol if p.flag_vf else 0.0
         if p.flaglog:
             R0 = 6 * math.pi * mu * (1.0 + 2.725 * vf - 6.583 * vf * vf)
             RT0 = 8 * math.pi * mu * (1.0 + 0.749 * vf - 2.469 * vf * vf)
@@ -172,7 +202,7 @@ def lubrication_forces(state: ParticleState, p: LubricationParams,
 
 
 def lubrication_forces_binned(state: ParticleState, p: LubricationParams,
-                              idx, periodic_len=None
+                              idx, periodic_len=None, vol_T=None
                               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """pair lubricate/poly over the (K, N) neighbor table (binner cutoff
     and K must cover p.cut's ring; enforced by the case loader)."""
@@ -187,7 +217,8 @@ def lubrication_forces_binned(state: ParticleState, p: LubricationParams,
 
     if p.flagfld:
         vol_p = jnp.sum(state.volume * active)
-        vf = vol_p / p.box_volume if p.flag_vf else 0.0
+        vol = p.box_volume if vol_T is None else vol_T
+        vf = vol_p / vol if p.flag_vf else 0.0
         if p.flaglog:
             R0 = 6 * math.pi * mu * (1.0 + 2.725 * vf - 6.583 * vf * vf)
             RT0 = 8 * math.pi * mu * (1.0 + 0.749 * vf - 2.469 * vf * vf)

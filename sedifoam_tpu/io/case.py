@@ -59,6 +59,20 @@ def _graded_faces(lo: float, hi: float, n: int, ratio: float) -> np.ndarray:
     return np.concatenate([[lo], lo + np.cumsum(w)])
 
 
+class UnsupportedMeshError(ValueError):
+    """blockMeshDict outside the tensor-product mesh model.
+
+    The fluid discretization is a structured tensor-product grid (the
+    basis of the fast-diagonalization smoothing solver and the XLA-
+    friendly stencil ops). Straight-edged hex blocks that tile the box
+    as 1-D stacks are supported; curved (arc) edges and O-grid style
+    composite blocks — jetFlow's 4-side-blocks-around-a-jet-column
+    arrangement (cases/example-cases/jetFlow/constant/polyMesh/
+    blockMeshDict:52-56) is the one reference case that uses them —
+    are not.
+    """
+
+
 def _parse_blocks(blocks, verts):
     """blocks list -> [(bbox_lo, bbox_hi, counts, grading)] per hex."""
     out = []
@@ -100,8 +114,12 @@ def _merge_block_axes(blocks_info) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         # contiguity check for stacked segments
         faces = _graded_faces(keys[0][0], keys[0][1], keys[0][2], keys[0][3])
         for k in keys[1:]:
-            assert abs(k[0] - faces[-1]) <= 1e-9 * max(1.0, abs(k[0])), (
-                f"blocks do not tile contiguously along axis {a}: {keys}")
+            if abs(k[0] - faces[-1]) > 1e-9 * max(1.0, abs(k[0])):
+                raise UnsupportedMeshError(
+                    f"hex blocks do not tile the domain as a 1-D stack "
+                    f"along axis {a} (segments {keys}): composite/O-grid "
+                    f"block arrangements are outside the tensor-product "
+                    f"mesh model (see UnsupportedMeshError)")
             faces = np.concatenate(
                 [faces, _graded_faces(k[0], k[1], k[2], k[3])[1:]])
         axes_faces.append(faces)
@@ -120,6 +138,13 @@ def read_block_mesh(path: str):
     verts = np.asarray(d["vertices"], float) * scale
     blocks_info = _parse_blocks(d["blocks"], verts)
     assert blocks_info, "no hex blocks in blockMeshDict"
+    edges = d.get("edges", ())
+    if any(e == "arc" for e in edges):
+        raise UnsupportedMeshError(
+            "blockMeshDict uses curved (arc) block edges — the tensor-"
+            "product mesh model supports straight-edged hex blocks only "
+            "(jetFlow's O-grid jet column is the one reference case "
+            "outside it)")
     xf, yf, zf = _merge_block_axes(blocks_info)
     grid = Grid.from_faces(xf, yf, zf)
     lo = verts.min(axis=0)

