@@ -77,15 +77,22 @@ def build_case(n_particles=2048, nx=32, ny=64, nz=32, sub_steps=10,
         WallSpec(style="zplane", lo=0.0, hi=L[2], params=pair),
     )
     r = 5e-4
-    # K sizing: the table must hold every partner that can touch before
-    # the next rebuild, i.e. within 2r + skin = 1.3 d. At random close
-    # packing that is ~5.2*(1.3)^3 ~ 12 neighbors; K=16 gives 30%
-    # headroom (dense-equivalence tests guard the bound), and each K is
-    # ~0.4 ms of partner row gather per substep at 131k.
+    # K sizing: correctness needs every partner within the Verlet ring
+    # 2r + skin = 1.3 d in the table. The geometric worst case is ~12
+    # (random close packing of the ring), but the MEASURED ring
+    # occupancy of this bed is 6 (jittered simple-cubic at 2.02r: six
+    # touching neighbors; the next shell sits at 1.43 d > 1.3 d). K=8
+    # gives 33% headroom over that, and audit_ring arms the rebuild-time
+    # truncation audit (state.nbr_dropped, LAMMPS dangerous-builds
+    # analogue) — main() hard-fails if any rebuild ever dropped an
+    # in-ring partner, so the density-sized K is verified, not assumed.
+    # Each K is ~0.4 ms of partner row gather per substep at 131k.
+    nbr_k = 8
     dem_cfg = DEMConfig(dt=dt / sub_steps, pair=pair, walls=walls,
                         gravity=(0.0, -9.81, 0.0),
-                        backend=backend, nbr_k=16, max_per_bin=10,
+                        backend=backend, nbr_k=nbr_k, max_per_bin=10,
                         cutoff=2 * r * 1.6, skin=0.6 * r,
+                        audit_ring=2 * r + 0.6 * r,
                         domain_lo=(0.0, 0.0, 0.0), domain_hi=L)
     lat_geom = _lat.make_geom(dem_cfg) if backend == "lattice" else None
     pen_geom = None
@@ -114,7 +121,8 @@ def build_case(n_particles=2048, nx=32, ny=64, nz=32, sub_steps=10,
     pos += rng.uniform(-0.05 * r, 0.05 * r, pos.shape)
     particles = make_particles(pos=pos, radius=r, density=2500.0,
                                capacity=n_particles, n_walls=len(walls),
-                               neighbor_k=16 if backend == "binned" else None,
+                               neighbor_k=(dem_cfg.nbr_k
+                                           if backend == "binned" else None),
                                lattice_geom=lat_geom, pencil_geom=pen_geom,
                                dtype=jnp.float32)
     fluid = init_fluid(grid, Ub=jnp.zeros((3,) + grid.shape, jnp.float32
@@ -155,6 +163,12 @@ def main():
         state = step(state)
     sync(state)
     dt_wall = time.perf_counter() - t0
+
+    dropped = int(state.particles.nbr_dropped)
+    if dropped:
+        raise SystemExit(
+            f"NEIGHBOR AUDIT FAILED: {dropped} in-ring partners dropped "
+            f"by the K={cfg.dem.nbr_k} table — benchmark result invalid")
 
     psteps = n_particles * sub_steps * n_timed / dt_wall
     print(json.dumps({

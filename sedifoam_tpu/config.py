@@ -108,6 +108,13 @@ class DEMConfig:
     max_per_bin: int = 8         # candidate slots per bin
     cutoff: float = 0.0          # bin pitch: >= max diameter + skin
     skin: float = 0.0            # Verlet skin; rebuild at disp > skin/2
+    # K-truncation safety audit radius (the widest interaction ring +
+    # skin). When > 0, every rebuild counts in-ring candidates the
+    # K-nearest table had to drop and records the worst count in
+    # state.nbr_dropped (LAMMPS "dangerous builds" analogue). This is
+    # what makes density-sized nbr_k (below the geometric worst-case
+    # bound) safe: a nonzero count is a loud correctness signal.
+    audit_ring: float = 0.0
     domain_lo: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     domain_hi: Tuple[float, float, float] = (1.0, 1.0, 1.0)
     # periodic particle boundaries per axis (LAMMPS `boundary pp ff pp`,

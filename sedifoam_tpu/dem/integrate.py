@@ -79,7 +79,8 @@ def maybe_rebuild_neighbors(state: ParticleState, cfg: DEMConfig,
 
     rebuild_fn = make_binner(cfg.domain_lo, cfg.domain_hi, cfg.cutoff,
                              cfg.nbr_k, cfg.max_per_bin,
-                             periodic=cfg.periodic)
+                             periodic=cfg.periodic,
+                             audit_ring=cfg.audit_ring)
     sort_fn = make_sort_order(cfg.domain_lo, cfg.domain_hi, cfg.cutoff,
                               periodic=cfg.periodic) \
         if cfg.sort_on_rebuild else None
@@ -87,9 +88,10 @@ def maybe_rebuild_neighbors(state: ParticleState, cfg: DEMConfig,
     def do_rebuild(st: ParticleState) -> ParticleState:
         if sort_fn is not None:
             st = permute_particle_state(st, sort_fn(st.pos, st.active))
-        idx = rebuild_fn(st.pos, st.active)
+        idx, dropped = rebuild_fn(st.pos, st.active)
         shear = carry_over_shear(st.nbr_idx, idx, st.shear)
-        return st._replace(nbr_idx=idx, shear=shear, pos_at_build=st.pos)
+        return st._replace(nbr_idx=idx, shear=shear, pos_at_build=st.pos,
+                           nbr_dropped=jnp.maximum(st.nbr_dropped, dropped))
 
     if force:
         return do_rebuild(state)

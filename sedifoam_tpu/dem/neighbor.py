@@ -35,12 +35,21 @@ from sedifoam_tpu.dem.state import ParticleState
 
 def make_binner(lo: Tuple[float, float, float], hi: Tuple[float, float, float],
                 cutoff: float, k_neighbors: int, max_per_bin: int,
-                periodic: Tuple[bool, bool, bool] = (False, False, False)):
+                periodic: Tuple[bool, bool, bool] = (False, False, False),
+                audit_ring: float = 0.0):
     """Build a jit-safe neighbor-rebuild function with static bin geometry.
 
-    rebuild(pos (N,3), active (N,)) -> idx (K, N) int32, where idx == N
-    marks an empty slot. Periodic axes wrap their bin neighborhoods and
-    candidate distances use the minimum image.
+    rebuild(pos (N,3), active (N,)) -> (idx (K, N) int32, dropped int32),
+    where idx == N marks an empty slot. Periodic axes wrap their bin
+    neighborhoods and candidate distances use the minimum image.
+
+    audit_ring > 0 arms the K-truncation safety audit: `dropped` counts
+    in-ring candidates (distance < audit_ring) the K-nearest selection
+    had to discard — the LAMMPS "dangerous builds" analogue. A nonzero
+    count means K is too small for the observed packing and contact
+    pairs may be missed; with audit_ring == 0 `dropped` is always 0.
+    This is what makes density-sized K (below the geometric worst-case
+    bound) safe to run: the audit verifies the bound at every rebuild.
     """
     nbx = max(int((hi[0] - lo[0]) / cutoff), 1)
     nby = max(int((hi[1] - lo[1]) / cutoff), 1)
@@ -121,7 +130,13 @@ def make_binner(lo: Tuple[float, float, float], hi: Tuple[float, float, float],
         slot_sel = jnp.take_along_axis(slots.T, sel, axis=1)   # (N, K)
         keep = jnp.isfinite(-negd2)
         idx = order[slot_sel]                          # (N, K)
-        return jnp.where(keep, idx, n).astype(jnp.int32).T
+        if audit_ring > 0.0:
+            inring = jnp.sum(d2 < audit_ring * audit_ring, axis=0)  # (N,)
+            dropped = jnp.sum(jnp.maximum(inring - K, 0))
+        else:
+            dropped = jnp.zeros((), jnp.int32)
+        return (jnp.where(keep, idx, n).astype(jnp.int32).T,
+                dropped.astype(jnp.int32))
 
     return rebuild
 

@@ -53,6 +53,12 @@ class ParticleState(NamedTuple):
     # particle injection state (addAndDeleteParticle)
     time_to_add: jnp.ndarray    # scalar countdown
     rng_key: jnp.ndarray        # (2,) uint32 for position perturbation
+    # neighbor-table safety audit (binned backend): worst count of
+    # in-ring partners dropped by the K-nearest truncation at any
+    # rebuild so far. Nonzero means nbr_k is too small for the observed
+    # packing — the LAMMPS "dangerous builds" analogue
+    # (neighbor.cpp ndanger). 0 when audit_ring is unset.
+    nbr_dropped: jnp.ndarray    # scalar int32
 
     @property
     def n_capacity(self):
@@ -153,4 +159,5 @@ def make_particles(pos, radius, density, vel=None, omega=None, ptype=None,
         vel_fluid_old=pad2(vel),
         time_to_add=jnp.asarray(1e30, dtype),
         rng_key=jnp.zeros(2, jnp.uint32),
+        nbr_dropped=jnp.zeros((), jnp.int32),
     )

@@ -474,8 +474,9 @@ def load_case(case_dir: str, capacity: Optional[int] = None,
         cutoff = max(cutoff, d_max + lmp.cohesion.smax + skin)
     if lub is not None:
         cutoff = max(cutoff, lub.cut + skin)
+    ring = (d_max + skin) if (lmp.cohesion is None and lub is None) \
+        else cutoff
     if neighbor_k is None:
-        ring = (d_max + skin) if (lmp.cohesion is None and lub is None)             else cutoff
         k_needed = int(max(16, math.ceil(1.35 * 5.2 * (ring / d_min) ** 3)))
         neighbor_k = min(k_needed, 160)
     else:
@@ -497,7 +498,7 @@ def load_case(case_dir: str, capacity: Optional[int] = None,
         carrier_rho=lmp.carrier_rho, cohesion=lmp.cohesion,
         lubrication=lub,
         backend=backend, nbr_k=neighbor_k, max_per_bin=10,
-        cutoff=cutoff, skin=skin,
+        cutoff=cutoff, skin=skin, audit_ring=ring,
         domain_lo=(box[0], box[2], box[4]),
         domain_hi=(box[1], box[3], box[5]),
         periodic=lmp.periodic,

@@ -35,7 +35,8 @@ def test_binner_finds_all_contacts():
     active = jnp.ones(128, bool)
     rebuild = make_binner(BOX[0], BOX[1], cutoff=2 * R * 1.6,
                           k_neighbors=32, max_per_bin=8)
-    idx = np.asarray(rebuild(jnp.asarray(pos), active))  # (K, N)
+    idx, _ = rebuild(jnp.asarray(pos), active)
+    idx = np.asarray(idx)  # (K, N)
     # brute-force within-cutoff pairs must all appear in the table
     d = np.linalg.norm(pos[:, None] - pos[None, :], axis=-1)
     np.fill_diagonal(d, 1e9)
@@ -114,3 +115,65 @@ def test_add_delete_particles():
         st3, tta, key, sites, grid, ccfg, dt_fluid=1e-3)
     assert not bool(st4.active[0])
     assert int(st4.active.sum()) == 16
+
+
+def test_truncation_audit_counts_dropped_inring():
+    """audit_ring arms the K-truncation audit (LAMMPS dangerous-builds
+    analogue): a K too small for the packing reports exactly the number
+    of in-ring partners the K-nearest selection discarded."""
+    # 6 particles clustered within one ring of each other: each sees 5
+    pos = np.asarray([[0.0, 0.0, 0.0]] * 6) + \
+        np.asarray([[0.0, 0, 0], [1.05, 0, 0], [-1.05, 0, 0],
+                    [0, 1.05, 0], [0, -1.05, 0], [0, 0, 1.05]]) * 2 * R
+    pos += 0.01  # keep inside BOX
+    active = jnp.ones(6, bool)
+    ring = 2 * R * 1.3
+    mk = lambda k: make_binner(BOX[0], BOX[1], cutoff=2 * R * 1.6,
+                               k_neighbors=k, max_per_bin=8,
+                               audit_ring=ring)
+    # count in-ring partners per particle by brute force
+    d = np.linalg.norm(pos[:, None] - pos[None, :], axis=-1)
+    np.fill_diagonal(d, 1e9)
+    inring = (d < ring).sum(axis=1)
+    assert inring.max() >= 3  # the cluster is actually dense
+    _, dropped_ok = mk(int(inring.max()))(jnp.asarray(pos), active)
+    assert int(dropped_ok) == 0
+    k_small = 2
+    _, dropped = mk(k_small)(jnp.asarray(pos), active)
+    assert int(dropped) == int(np.maximum(inring - k_small, 0).sum())
+    # audit disarmed -> always 0
+    mk0 = make_binner(BOX[0], BOX[1], cutoff=2 * R * 1.6,
+                      k_neighbors=k_small, max_per_bin=8)
+    _, d0 = mk0(jnp.asarray(pos), active)
+    assert int(d0) == 0
+
+
+def test_density_sized_k8_matches_dense_on_benchlike_bed():
+    """The headline bench runs K=8 (density-sized, audit-verified) on a
+    just-touching jittered simple-cubic bed; prove the K=8 table gives
+    the dense backend's forces exactly and the audit stays clean."""
+    rng = np.random.RandomState(7)
+    pitch = 2.02 * R
+    nx = 6
+    ii = np.arange(nx ** 3)
+    pos = np.stack([2 * R + (ii % nx) * pitch,
+                    2 * R + ((ii // nx) % nx) * pitch,
+                    2 * R + (ii // nx ** 2) * pitch], axis=1)
+    pos += rng.uniform(-0.05 * R, 0.05 * R, pos.shape)
+    vel = rng.randn(len(pos), 3) * 0.02
+    pair = PairParams(style="hertz_history", kn=1e5, gamman=0.7, xmu=0.4)
+    common = dict(dt=1e-6, pair=pair, gravity=(0.0, -9.81, 0.0),
+                  cutoff=2 * R * 1.6, skin=0.6 * R,
+                  domain_lo=BOX[0], domain_hi=BOX[1])
+    cfg_d = DEMConfig(backend="dense", **common)
+    cfg_b = DEMConfig(backend="binned", nbr_k=8, max_per_bin=10,
+                      audit_ring=2 * R + 0.6 * R, **common)
+    st_d = make_particles(pos, R, 2500.0, vel=vel, n_walls=0)
+    st_b = make_particles(pos, R, 2500.0, vel=vel, n_walls=0, neighbor_k=8)
+    st_d = run_dem(setup_forces(st_d, cfg_d), cfg_d, 50)
+    st_b = run_dem(setup_forces(st_b, cfg_b), cfg_b, 50)
+    assert int(st_b.nbr_dropped) == 0
+    np.testing.assert_allclose(np.asarray(st_b.force), np.asarray(st_d.force),
+                               rtol=0, atol=1e-10 * float(
+                                   np.abs(st_d.force).max() + 1e-30))
+    np.testing.assert_allclose(np.asarray(st_b.pos), np.asarray(st_d.pos))
