@@ -120,10 +120,10 @@ def lift_drag_coeffs(fluid: FluidState, particles: ParticleState,
     # cap unphysical alpha (liftDragCoeffs.H:6-14)
     alpha = jnp.minimum(fluid.alpha, fcfg.max_possible_alpha)
 
-    # calcTcFields: per-particle Jd at current state
+    # calcTcFields: per-particle Jd at current state (alpha + Uf in one
+    # packed row gather)
     cells = _transfer.particle_cells(particles, grid)
-    p_alpha = _transfer.gather_from_grid(alpha, cells)
-    uf_at_p = _transfer.gather_from_grid(uf_smoothed, cells)
+    p_alpha, uf_at_p = _transfer.gather_fields(cells, alpha, uf_smoothed)
     uri = uf_at_p - particles.vel
     mag_uri = jnp.sqrt(jnp.sum(uri * uri, axis=-1))
     d = jnp.maximum(2.0 * particles.radius, 1e-300)
@@ -138,7 +138,8 @@ def lift_drag_coeffs(fluid: FluidState, particles: ParticleState,
             particles, jd_vals, grid)
     else:
         asrc = _transfer.calc_asrc(particles, jd_vals, uf_smoothed, alpha,
-                                   grid, smooth, ccfg.drag_smooth)
+                                   grid, smooth, ccfg.drag_smooth,
+                                   uf_at_p=uf_at_p)
         # Omega_ *= 0 (enhancedCloud.C:391): implicit drag disabled
         drag_coef = jnp.zeros_like(alpha)
 

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from sedifoam_tpu.config import CloudConfig, FluidConfig
 from sedifoam_tpu.coupling import drag as _drag
-from sedifoam_tpu.coupling.transfer import gather_from_grid, particle_cells
+from sedifoam_tpu.coupling.transfer import gather_fields, particle_cells
 from sedifoam_tpu.dem.state import ParticleState
 from sedifoam_tpu.grid import Grid
 
@@ -52,11 +52,24 @@ def particle_forces(
     dt = fcfg.dt
     rhob, nub = fcfg.rhob, fcfg.nub
 
-    uf_p = gather_from_grid(uf_smoothed, cells)       # (N,3)
+    # every grid field this force sum needs, in ONE packed row gather
+    # (per-field gathers measured ~2x slower at 131k on the chip)
+    fields = [uf_smoothed, alpha_field, ddt_uf]
+    if ccfg.particle_pressure_grad:
+        fields.append(grad_p)
+    if ccfg.particle_lift:
+        fields.append(curl_u)
+    if ccfg.particle_history_force:
+        fields.append(uf_smoothed_old)
+    gathered = gather_fields(cells, *fields)
+    uf_p, p_alpha, dudt_p = gathered[:3]
+    rest = list(gathered[3:])
+    gp = rest.pop(0) if ccfg.particle_pressure_grad else None
+    cu = rest.pop(0) if ccfg.particle_lift else None
+    uf_old_p = rest.pop(0) if ccfg.particle_history_force else None
+
     uri = uf_p - state.vel
     mag_uri = jnp.sqrt(jnp.sum(uri * uri, axis=-1))
-    p_alpha = gather_from_grid(alpha_field, cells)
-    dudt_p = gather_from_grid(ddt_uf, cells)
 
     jd_vals = _drag.jd(ccfg.drag_model, mag_uri, p_alpha, d, nub, rhob)
 
@@ -65,7 +78,6 @@ def particle_forces(
     if ccfg.particle_drag:
         p_drag = p_drag + (jd_vals * (1.0 - p_alpha) * vol)[:, None] * uri
     if ccfg.particle_pressure_grad:
-        gp = gather_from_grid(grad_p, cells)
         p_drag = p_drag - gp * vol[:, None]
     if ccfg.particle_buoyancy:
         g = jnp.asarray(fcfg.gravity, p_drag.dtype)
@@ -78,7 +90,6 @@ def particle_forces(
                         acc / (mag_acc + ROOTVSMALL)[:, None] * 10.0, acc)
         p_drag = p_drag + 0.5 * rhob * vol[:, None] * acc
     if ccfg.particle_lift:
-        cu = gather_from_grid(curl_u, cells)
         mag_cu = jnp.sqrt(jnp.sum(cu * cu, axis=-1))
         lift = (1.6 * rhob * math.sqrt(nub)) * (d ** 2)[:, None] * \
             jnp.cross(uri, cu) / jnp.sqrt(mag_cu + ROOTVSMALL)[:, None]
@@ -88,7 +99,6 @@ def particle_forces(
     if ccfg.particle_history_force:
         # reduced-order Basset history (enhancedCloud.C:197-234)
         tau_d = d ** 2 / nub
-        uf_old_p = gather_from_grid(uf_smoothed_old, cells)
         uri_old = uf_old_p - state.vel_fluid_old
         rep = mag_uri * d / nub
         rep_old = jnp.sqrt(jnp.sum(uri_old * uri_old, axis=-1)) * d / nub
