@@ -93,8 +93,13 @@ class DEMConfig:
     # 'dense': all-pairs with (N,N,3) history — exact, best below ~10k
     # 'binned': Verlet-skin neighbor tables — scales to large N
     # 'pencil': gather-free static-shift enumeration on (pencil, y-rank)
-    #           slots with a fused Pallas kernel — fastest at scale on
-    #           TPU (dem/pencil.py); x/z-nonperiodic cases only
+    #           slots with a fused Pallas kernel (dem/pencil.py).
+    #           EXPERIMENTAL: y-rank anchoring drifts on beds whose
+    #           pencils have unequal linear densities (the build-time
+    #           W-window audit catches it — measured 62k missed pairs on
+    #           the 131k jittered bench bed), and rebuild+carry is heavy.
+    #           The fused binned backend is the fast path at scale;
+    #           x/z-nonperiodic cases only
     # 'lattice': experimental roll-based bins (dem/lattice.py)
     backend: str = "dense"
     # pencil-backend geometry (dem/pencil.PencilGeom), required when

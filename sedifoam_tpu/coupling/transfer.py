@@ -143,9 +143,13 @@ def particle_to_eulerian(state: ParticleState, grid: Grid,
     gamma = gamma / V
     Ue = Ue / V
 
-    if alpha_smooth:
+    if alpha_smooth and up_smooth:
+        # one batched tensor-product solve for all 4 components
+        packed = smooth_fn(jnp.concatenate([gamma[None], Ue], axis=0))
+        gamma, Ue = packed[0], packed[1:]
+    elif alpha_smooth:
         gamma = smooth_fn(gamma)
-    if up_smooth:
+    elif up_smooth:
         Ue = smooth_fn(Ue)
 
     # normalize by gamma where particles exist
