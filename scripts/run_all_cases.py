@@ -193,6 +193,14 @@ def main():
 
     only = [c.strip() for c in args.only.split(",") if c.strip()]
     report = {"quick": args.quick, "cases": {}}
+    if only and os.path.exists(args.report):
+        # partial run (--only): merge into the existing report so an
+        # interrupted battery can resume case by case; a FULL run always
+        # starts a fresh report
+        with open(args.report) as f:
+            prev = json.load(f)
+        if bool(prev.get("quick")) == args.quick:
+            report["cases"].update(prev.get("cases", {}))
     for name, fn in cases.items():
         if only and name not in only:
             continue

@@ -1,0 +1,136 @@
+"""jetFlow example-case validation: particle-laden round jet (LES).
+
+Reference: cases/example-cases/jetFlow — a D=5 mm round jet (Ub=1.72 m/s)
+into a 0.1 x 0.3 x 0.1 m tank, kEqn LES, 0.5 mm particles injected near
+the inlet every 2.5 ms and deleted near the outlet (readme.txt cites
+Wang's "LES of starting and developed particle-laden jets"). The O-grid
+mesh runs through the Cartesian embedding (io/case.py:
+read_block_mesh_embedded) with the inlet disc as a region BC.
+
+Validation:
+- inlet volume flux == pi r^2 U_in via the coverage-weighted disc mask;
+- centerline mean-velocity decay in the developed region: a round jet
+  follows Uc/U0 = B / ((y - y0)/D); the decay "constant" B measured at
+  y/D in {20, 30, 40} must be monotone-consistent and in a loose band
+  (short-time LES averaging; classic experiments give B ~= 5.8);
+- the injected-particle population reaches a transit steady state (adds
+  balanced by outlet deletions) and stays finite.
+
+Run:  python scripts/validate_jetflow.py [--t-end 1.5] [--quick] [--f64]
+Prints one JSON line.
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--t-end", type=float, default=1.5)
+    ap.add_argument("--quick", action="store_true",
+                    help="2x-coarsened mesh, short run, smoke gates only")
+    ap.add_argument("--f64", action="store_true")
+    ap.add_argument("--case",
+                    default="/root/reference/cases/example-cases/jetFlow")
+    ap.add_argument("--capacity", type=int, default=65536)
+    ap.add_argument("--out", default="")
+    args = ap.parse_args()
+
+    import jax
+    if args.f64:
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sedifoam_tpu.fluid.state import init_fluid
+    from sedifoam_tpu.grid import Grid
+    from sedifoam_tpu.io.case import load_case
+    from sedifoam_tpu.runtime.runner import Simulation
+    from sedifoam_tpu.solver import initialize
+
+    dtype = jnp.float64 if args.f64 else jnp.float32
+    t_end = 0.05 if args.quick and args.t_end == 1.5 else args.t_end
+    cfg, fluid, particles, controls = load_case(
+        args.case, backend="binned", dtype=dtype, embed_ogrid=True,
+        capacity=args.capacity if not args.quick else 8192)
+    if args.quick:
+        g = cfg.grid
+        grid = Grid.from_faces(*(np.asarray(g.axis_faces(a))[::2]
+                                 for a in range(3)))
+        cfg = dataclasses.replace(cfg, grid=grid)
+        fluid = init_fluid(grid, dtype=dtype)
+    state = initialize(fluid, particles, cfg)
+
+    D, U0 = 0.005, 1.72
+    stations = [10, 20, 30, 40, 50]           # y/D probe stations
+    probes = [(0.0, s * D, 0.0) for s in stations]
+    sim = Simulation(cfg, state, probe_locations=probes,
+                     steps_per_host_visit=25)
+    sim.run(t_end, probe_every=2)
+
+    times, Ub = sim.probes.series("Ub")        # (n_t, n_probe, 3)
+    uc = Ub[:, :, 1]
+
+    fs = sim.state.fluid
+    disc = cfg.bcs.Ub.ym.region
+    m = np.asarray(disc.mask(cfg.grid))[0]
+    xf = np.asarray(cfg.grid.axis_faces(0))
+    zf = np.asarray(cfg.grid.axis_faces(2))
+    areas = np.diff(xf)[:, None] * np.diff(zf)[None, :]
+    q_in = float(np.sum(np.asarray(fs.phib.y[:, 0])))
+    q_disc = float(U0 * (m * areas).sum())
+    q_exact = U0 * np.pi * disc.radius ** 2
+
+    n_active = int(np.asarray(sim.state.particles.active).sum())
+    result = {
+        "t_end": t_end, "quick": bool(args.quick),
+        "grid": list(cfg.grid.shape),
+        "wall_time_s": round(sim.wall_time, 2),
+        "inlet_flux_rel_err": abs(q_in / q_disc - 1.0),
+        "disc_area_rel_err": abs(q_disc / q_exact - 1.0),
+        "n_particles_active": n_active,
+        "finite": bool(np.isfinite(np.asarray(fs.Ub)).all()
+                       and np.isfinite(np.asarray(fs.p)).all()
+                       and np.isfinite(
+                           np.asarray(sim.state.particles.vel)).all()),
+        "timing_split_ms": {k: round(v * 1e3, 2)
+                            for k, v in sim.timing_split().items()},
+    }
+    diag = {k: float(v) for k, v in sim.diag_fn(sim.state).items()}
+    result["continuity_err"] = diag.get("continuity_err")
+
+    gates = {
+        "finite": result["finite"],
+        "inlet_flux": result["inlet_flux_rel_err"] < 1e-6,
+        "disc_area": result["disc_area_rel_err"] < 2e-2,
+    }
+    if not args.quick:
+        # developed-jet decay: average the centerline over the last 40%
+        late = times > 0.6 * t_end
+        uc_mean = uc[late].mean(axis=0)
+        result["uc_mean_by_station"] = {f"y/D={s}": round(float(u), 4)
+                                        for s, u in zip(stations, uc_mean)}
+        B = [float(uc_mean[i] * s / U0) for i, s in enumerate(stations)]
+        result["decay_B_by_station"] = {f"y/D={s}": round(b, 2)
+                                        for s, b in zip(stations, B)}
+        # gates: monotone decay beyond the potential core, and the decay
+        # constant at the mid stations inside a loose band (short-run LES;
+        # experiments: B ~= 5.8). Injected population must be substantial
+        # and below capacity (transit steady state, deletions active).
+        gates["uc_monotone"] = bool(uc_mean[1] > uc_mean[2] > uc_mean[3])
+        gates["decay_band"] = all(3.0 < b < 12.0 for b in B[1:4])
+        gates["particles_flowing"] = 100 < n_active < args.capacity
+    result["gates"] = gates
+    result["passed"] = all(gates.values())
+    print(json.dumps(result))
+    if args.out:
+        np.savez(args.out, times=times, uc=uc)
+
+
+if __name__ == "__main__":
+    main()

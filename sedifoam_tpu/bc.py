@@ -20,6 +20,7 @@ EMPTY = "empty"
 CYCLIC = "cyclic"
 INLET_OUTLET = "inletOutlet"
 SLIP = "slip"  # zero normal component, zeroGradient tangential
+REGION = "region"  # two sub-BCs selected by an in-plane mask (RegionPatchBC)
 
 # patch ids in canonical order
 PATCHES = ("xm", "xp", "ym", "yp", "zm", "zp")
@@ -78,6 +79,71 @@ class PatchBC:
 
 
 @dataclasses.dataclass(frozen=True)
+class DiscRegion:
+    """Disc-shaped sub-region of a boundary patch, defined analytically so
+    the whole BC stays hashable/static under jit (the mask is rebuilt from
+    the static grid at trace time and constant-folded by XLA).
+
+    axis: the patch normal axis; (c0, c1): disc center in the two
+    in-plane axes taken in ascending axis order; radius in meters.
+    """
+
+    axis: int
+    c0: float
+    c1: float
+    radius: float
+
+    def mask(self, grid):
+        """(1, n_a, n_b) float coverage slab in the ops._mv(field, axis)
+        layout: the fraction of each boundary face inside the disc
+        (8x8 subsampling; <1% area error), so a blended inlet carries the
+        disc's true flux even when the rim cuts through cells. NumPy —
+        static at trace time, constant-folded by XLA."""
+        import numpy as np
+        oa, ob = (a for a in range(3) if a != self.axis)
+        S = 8
+        off = (np.arange(S) + 0.5) / S
+
+        def sub(ax, c):
+            f = np.asarray(grid.axis_faces(ax))
+            return f[:-1, None] + (f[1:] - f[:-1])[:, None] * off[None] - c
+
+        du = sub(oa, self.c0)                       # (n_a, S)
+        dv = sub(ob, self.c1)                       # (n_b, S)
+        inside = (du[:, :, None, None] ** 2 + dv[None, None] ** 2
+                  <= self.radius ** 2)
+        return inside.mean(axis=(1, 3))[None]
+
+
+@dataclasses.dataclass(frozen=True)
+class RegionPatchBC:
+    """Mixed patch: ``inside`` applies within ``region``, ``outside``
+    elsewhere on the same box face. Replicates jetFlow's bottom boundary
+    (cases/example-cases/jetFlow/constant/polyMesh/blockMeshDict:84-110):
+    the O-grid's separate `inlet` (jet column base) and `bottom` (annulus)
+    patches both land on the embedded Cartesian mesh's ym face, so one
+    face carries fixedValue-inside-a-slip-wall.
+
+    Sub-BCs must be non-cyclic (a wrap across a partial face has no
+    meaning); consumers blend the two sub-BC responses with the disc mask.
+    """
+
+    inside: PatchBC
+    outside: PatchBC
+    region: DiscRegion
+    kind: str = REGION
+
+    def __post_init__(self):
+        assert self.inside.kind != CYCLIC and self.outside.kind != CYCLIC, \
+            "cyclic sub-BCs are not meaningful inside a region patch"
+
+    def component(self, i: int) -> "RegionPatchBC":
+        return RegionPatchBC(
+            _component_patch(self.inside, i, self.region.axis),
+            _component_patch(self.outside, i, self.region.axis), self.region)
+
+
+@dataclasses.dataclass(frozen=True)
 class FieldBC:
     xm: PatchBC = PatchBC(ZERO_GRADIENT)
     xp: PatchBC = PatchBC(ZERO_GRADIENT)
@@ -97,7 +163,26 @@ class FieldBC:
         )
 
     def component(self, i: int) -> "FieldBC":
-        return FieldBC(*(self.patch(p).component(i) for p in PATCHES))
+        """Component i of a vector FieldBC, axis-aware: a slip patch is
+        OpenFOAM's symmetry transform U_f = U_c - (U_c.n)n
+        (slipFvPatchField), i.e. the wall-normal component is held at
+        zero and the tangentials are zeroGradient."""
+        return FieldBC(*(_component_patch(self.patch(p), i, k // 2)
+                         for k, p in enumerate(PATCHES)))
+
+
+def _component_patch(p, i: int, axis: int):
+    """Component i of a (possibly region) vector patch on a given box
+    axis. SLIP splits by direction: fixedValue 0 for the wall-normal
+    component (i == axis), zeroGradient for tangentials."""
+    if isinstance(p, RegionPatchBC):
+        return RegionPatchBC(_component_patch(p.inside, i, axis),
+                             _component_patch(p.outside, i, axis), p.region)
+    if p.kind == SLIP:
+        if i == axis:
+            return PatchBC(FIXED_VALUE, (0.0,))
+        return PatchBC(ZERO_GRADIENT, (0.0,))
+    return p.component(i)
 
 
 def uniform_bc(kind: str, value=0.0) -> FieldBC:

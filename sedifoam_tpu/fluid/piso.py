@@ -117,10 +117,12 @@ class UbEqn(NamedTuple):
     terms: Tuple[linop.LinTerm, linop.LinTerm, linop.LinTerm]
 
     def A(self, grid: Grid):
-        # per-component diags are identical for our BC zoology (same BC
-        # kinds for every component); OpenFOAM's cmptAv reduces to this
-        return self.terms[0].diag / ops._const(grid.cell_volume,
-                                                self.terms[0].diag)
+        # OpenFOAM's fvMatrix<vector>::A() folds per-component boundary
+        # coefficients with cmptAv; slip patches make the components
+        # differ (fixedValue-0 normal vs zeroGradient tangential)
+        davg = (self.terms[0].diag + self.terms[1].diag
+                + self.terms[2].diag) / 3.0
+        return davg / ops._const(grid.cell_volume, davg)
 
     def H(self, U, grid: Grid):
         return jnp.stack([self.terms[j].H(U[j], grid) for j in range(3)])
@@ -201,20 +203,23 @@ def assemble_ub_eqn(fs: FluidState, grid: Grid, bcs: FluidBCs,
     return UbEqn(tuple(terms))
 
 
-def _invert_alpha_bc(alpha_bc: _bc.FieldBC) -> _bc.FieldBC:
-    """BCs of beta = 1 - alpha: fixedValue v -> fixedValue 1-v, rest same."""
-    patches = []
-    for pn in _bc.PATCHES:
-        p = alpha_bc.patch(pn)
-        if p.kind in (_bc.FIXED_VALUE, _bc.INLET_OUTLET):
-            if isinstance(p.value, _bc.TimeTable):
-                v = p.value.map_values(lambda x: 1.0 - x)
-            else:
-                v = (1.0 - p.value[0],)
-            patches.append(_bc.PatchBC(p.kind, v))
+def _invert_patch(p):
+    """BC of beta = 1 - alpha: fixedValue v -> fixedValue 1-v, rest same."""
+    if isinstance(p, _bc.RegionPatchBC):
+        return _bc.RegionPatchBC(_invert_patch(p.inside),
+                                 _invert_patch(p.outside), p.region)
+    if p.kind in (_bc.FIXED_VALUE, _bc.INLET_OUTLET):
+        if isinstance(p.value, _bc.TimeTable):
+            v = p.value.map_values(lambda x: 1.0 - x)
         else:
-            patches.append(p)
-    return _bc.FieldBC(*patches)
+            v = (1.0 - p.value[0],)
+        return _bc.PatchBC(p.kind, v)
+    return p
+
+
+def _invert_alpha_bc(alpha_bc: _bc.FieldBC) -> _bc.FieldBC:
+    return _bc.FieldBC(*(_invert_patch(alpha_bc.patch(pn))
+                         for pn in _bc.PATCHES))
 
 
 def piso(fs: FluidState, eqn: UbEqn, grid: Grid, bcs: FluidBCs,

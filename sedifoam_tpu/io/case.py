@@ -65,11 +65,13 @@ class UnsupportedMeshError(ValueError):
     The fluid discretization is a structured tensor-product grid (the
     basis of the fast-diagonalization smoothing solver and the XLA-
     friendly stencil ops). Straight-edged hex blocks that tile the box
-    as 1-D stacks are supported; curved (arc) edges and O-grid style
+    as 1-D stacks load directly; curved (arc) edges and O-grid style
     composite blocks — jetFlow's 4-side-blocks-around-a-jet-column
     arrangement (cases/example-cases/jetFlow/constant/polyMesh/
     blockMeshDict:52-56) is the one reference case that uses them —
-    are not.
+    raise this error. jetFlow-style O-grids can instead run through the
+    explicit Cartesian embedding: load_case(..., embed_ogrid=True) /
+    read_block_mesh_embedded.
     """
 
 
@@ -195,6 +197,205 @@ def read_block_mesh(path: str):
     return grid, patch_faces
 
 
+_HEX_EDGE_SETS = (
+    ((0, 1), (3, 2), (7, 6), (4, 5)),   # local x1
+    ((0, 3), (1, 2), (5, 6), (4, 7)),   # local x2
+    ((0, 4), (1, 5), (2, 6), (3, 7)),   # local x3
+)
+
+
+def _block_axes_global(vidx, verts, counts, grading):
+    """Map a hex block's local (x1,x2,x3) counts/grading to global axes.
+
+    The mean of the four edge vectors of each local direction cancels the
+    transverse components of an O-grid side block's trapezoidal faces and
+    leaves the dominant global direction; grading inverts when the local
+    axis points along -global (blockMesh expansion ratios are directed).
+    """
+    counts_g = [None, None, None]
+    grading_g = [None, None, None]
+    for L, edges in enumerate(_HEX_EDGE_SETS):
+        mean = np.mean([verts[vidx[b]] - verts[vidx[a]] for a, b in edges],
+                       axis=0)
+        g_ax = int(np.argmax(np.abs(mean)))
+        if counts_g[g_ax] is not None:
+            raise UnsupportedMeshError(
+                "hex block local axes do not map 1:1 onto global axes")
+        counts_g[g_ax] = counts[L]
+        grading_g[g_ax] = grading[L] if mean[g_ax] > 0 \
+            else 1.0 / grading[L]
+    return counts_g, grading_g
+
+
+def _parse_blocks_full(blocks, verts):
+    """Like _parse_blocks but keeps the hex vertex indices and maps
+    counts/grading onto global axes (needed for rotated O-grid blocks)."""
+    out = []
+    i = 0
+    while i < len(blocks):
+        if blocks[i] != "hex":
+            i += 1
+            continue
+        vidx = blocks[i + 1]
+        counts = [int(c) for c in blocks[i + 2]]
+        grading = [1.0, 1.0, 1.0]
+        j = i + 3
+        if j < len(blocks) and blocks[j] in ("simpleGrading", "edgeGrading"):
+            g = blocks[j + 1]
+            if blocks[j] == "simpleGrading":
+                grading = [float(v) for v in g[:3]]
+            else:
+                grading = [float(g[0]), float(g[4]), float(g[8])]
+            j += 2
+        pts = verts[vidx]
+        counts_g, grading_g = _block_axes_global(vidx, verts, counts, grading)
+        out.append({"vidx": list(vidx), "lo": pts.min(axis=0),
+                    "hi": pts.max(axis=0), "counts": counts_g,
+                    "grading": grading_g})
+        i = j
+    return out
+
+
+def read_block_mesh_embedded(path: str):
+    """jetFlow-style O-grid -> embedded Cartesian tensor mesh.
+
+    The reference's one non-tensor mesh (cases/example-cases/jetFlow/
+    constant/polyMesh/blockMeshDict:52-56) wraps 4 graded side blocks
+    around a jet column, body-fitted to a circular outer boundary via arc
+    edges. A tensor-product grid cannot represent it; this embedding keeps
+    the case's physics on the vertex bounding box instead (which is
+    exactly the DEM wall box of jetFlow/in.lammps:30-32):
+
+    - the column axis keeps the blocks' axial cell distribution;
+    - each cross axis is three stacked segments: the side block's radial
+      grading (directed outer->inner, fine at the column), the column's
+      own segment, and the mirrored side grading;
+    - column-end patches that share a box face with the surrounding
+      annulus patch (jetFlow's `inlet` disc inside `bottom`) become
+      region entries {face_id: (inner_name, outer_name, DiscRegion)};
+      the disc radius is read from the column's arc-edge midpoints.
+
+    Returns (grid, patch_faces, regions).
+    """
+    d = foamdict.parse_file(path)
+    scale = float(d.get("convertToMeters", 1.0))
+    verts = np.asarray(d["vertices"], float) * scale
+    blocks = _parse_blocks_full(d["blocks"], verts)
+    lo, hi = verts.min(axis=0), verts.max(axis=0)
+    tol = 1e-9 * max(np.max(hi - lo), 1.0)
+
+    # the column: inside the domain in exactly two axes, spanning the third
+    def spans(b, a):
+        return abs(b["lo"][a] - lo[a]) < tol and abs(b["hi"][a] - hi[a]) < tol
+
+    col = None
+    for b in blocks:
+        span_axes = [a for a in range(3) if spans(b, a)]
+        if len(span_axes) == 1:
+            if col is not None:
+                raise UnsupportedMeshError(
+                    "O-grid embedding supports exactly one inner column")
+            col, ax_col = b, span_axes[0]
+    if col is None or len(blocks) != 5:
+        raise UnsupportedMeshError(
+            "unrecognized composite block arrangement (expected a "
+            "4-sides-around-a-column O-grid)")
+    cross = [a for a in range(3) if a != ax_col]
+
+    # per-axis face coordinates
+    faces = [None, None, None]
+    faces[ax_col] = _graded_faces(lo[ax_col], hi[ax_col],
+                                  col["counts"][ax_col],
+                                  col["grading"][ax_col])
+    for a in cross:
+        in_lo, in_hi = col["lo"][a], col["hi"][a]
+        seg_lo = seg_hi = None
+        for b in blocks:
+            if b is col:
+                continue
+            if abs(b["lo"][a] - lo[a]) < tol and abs(b["hi"][a] - in_lo) < tol:
+                seg_lo = (b["counts"][a], b["grading"][a])
+            if abs(b["lo"][a] - in_hi) < tol and abs(b["hi"][a] - hi[a]) < tol:
+                seg_hi = (b["counts"][a], b["grading"][a])
+        if seg_lo is None or seg_hi is None:
+            raise UnsupportedMeshError(
+                f"no side block tiles axis {a} of the O-grid ring")
+        faces[a] = np.concatenate([
+            _graded_faces(lo[a], in_lo, seg_lo[0], seg_lo[1]),
+            _graded_faces(in_lo, in_hi, col["counts"][a],
+                          col["grading"][a])[1:],
+            _graded_faces(in_hi, hi[a], seg_hi[0], seg_hi[1])[1:]])
+    grid = Grid.from_faces(*faces)
+
+    # disc radius from the column's arc-edge midpoints (fallback: the
+    # equal-area disc of the column cross-section)
+    cvx = set(col["vidx"])
+    center = [float(0.5 * (col["lo"][a] + col["hi"][a])) for a in range(3)]
+    radii = []
+    edges = d.get("edges", ())
+    i = 0
+    while i < len(edges):
+        if edges[i] == "arc":
+            v0, v1, mid = int(edges[i + 1]), int(edges[i + 2]), edges[i + 3]
+            if v0 in cvx and v1 in cvx:
+                mp = np.asarray(mid, float) * scale
+                radii.append(float(np.hypot(mp[cross[0]] - center[cross[0]],
+                                            mp[cross[1]] - center[cross[1]])))
+            i += 4
+        else:
+            i += 1
+    if radii:
+        radius = float(np.max(radii))
+    else:
+        w0 = col["hi"][cross[0]] - col["lo"][cross[0]]
+        w1 = col["hi"][cross[1]] - col["lo"][cross[1]]
+        radius = math.sqrt(w0 * w1 / math.pi)
+
+    # patch faces on the union box; column-end quads that share a face id
+    # with ring quads under a DIFFERENT name become regions
+    def face_id_of_quad(quad):
+        pts = verts[quad]
+        for ax in range(3):
+            if np.allclose(pts[:, ax], lo[ax], atol=tol):
+                return 2 * ax
+            if np.allclose(pts[:, ax], hi[ax], atol=tol):
+                return 2 * ax + 1
+        return None
+
+    patch_faces: Dict[str, List[int]] = {}
+    quad_names: Dict[int, List[Tuple[str, bool]]] = {}  # fid -> (name, is_col)
+    bnd = d.get("boundary")
+    i = 0
+    while i < len(bnd):
+        name, spec = bnd[i], bnd[i + 1]
+        for q in spec.get("faces", []):
+            fid = face_id_of_quad(q)
+            if fid is None:
+                continue
+            is_col = all(v in cvx for v in q)
+            quad_names.setdefault(fid, []).append((name, is_col))
+            ids = patch_faces.setdefault(name, [])
+            if fid not in ids:
+                ids.append(fid)
+        i += 2
+
+    regions: Dict[int, Tuple[str, str, _bc.DiscRegion]] = {}
+    for fid, entries in quad_names.items():
+        names = {n for n, _ in entries}
+        if len(names) < 2:
+            continue
+        inner = {n for n, c in entries if c}
+        outer = names - inner
+        if len(inner) != 1 or len(outer) != 1:
+            raise UnsupportedMeshError(
+                f"box face {fid} is claimed by patches {sorted(names)} in a "
+                f"pattern the disc-region embedding cannot express")
+        regions[fid] = (inner.pop(), outer.pop(), _bc.DiscRegion(
+            axis=fid // 2, c0=center[cross[0]], c1=center[cross[1]],
+            radius=radius))
+    return grid, patch_faces, regions
+
+
 def _parse_uniform_value(entry, n_comp: int):
     """uniformFixedValue uniformValue: constant or `table ((t (v)) ...)`."""
     if isinstance(entry, list) and entry and entry[0] == "table":
@@ -215,57 +416,97 @@ def _parse_uniform_value(entry, n_comp: int):
     return (float(val),) * n_comp
 
 
+def _patch_bc_from_spec(spec: dict, n_comp: int, internal) -> _bc.PatchBC:
+    kind_str = spec.get("type", "zeroGradient")
+    if kind_str == "uniformFixedValue":
+        # time-varying uniform value (e.g. the xiaocase1 inlet ramp)
+        return _bc.PatchBC(_bc.FIXED_VALUE,
+                           _parse_uniform_value(spec.get("uniformValue"),
+                                                n_comp))
+    kind = _BC_TYPE_MAP.get(kind_str, _bc.ZERO_GRADIENT)
+    if kind_str == "slip" and n_comp == 1:
+        # slip on a scalar field is plain symmetry = zeroGradient; keep
+        # the SLIP kind only on vectors (normal-component handling)
+        kind = _bc.ZERO_GRADIENT
+    if kind == _bc.FIXED_VALUE:
+        val = foamdict.uniform_value(spec.get("value", 0.0))
+    elif kind == _bc.INLET_OUTLET:
+        val = foamdict.uniform_value(spec.get("inletValue", 0.0))
+    else:
+        val = 0.0
+    if val == "$internalField":  # OpenFOAM macro expansion
+        val = internal
+    if isinstance(val, list):
+        vt = tuple(float(v) for v in val)
+    else:
+        vt = (float(val),) * n_comp
+    return _bc.PatchBC(kind, vt)
+
+
 def _read_field_bc(field_file: str, patch_faces: Dict[str, List[int]],
-                   n_comp: int) -> Tuple[_bc.FieldBC, object]:
-    """0/<field> -> (FieldBC, uniform internal value)."""
+                   n_comp: int, regions=None) -> Tuple[_bc.FieldBC, object]:
+    """0/<field> -> (FieldBC, uniform internal value).
+
+    regions: optional {face_id: (inner_name, outer_name, DiscRegion)} from
+    an O-grid embedding — those faces get a RegionPatchBC blending the two
+    named patch specs (collapsed to the plain patch when the specs agree).
+    """
     d = foamdict.parse_file(field_file)
     internal = foamdict.uniform_value(d.get("internalField", 0.0))
     bf = d.get("boundaryField", {})
 
     slots: List[Optional[_bc.PatchBC]] = [None] * 6
+    by_name: Dict[str, _bc.PatchBC] = {}
+    region_fids = set(regions or ())
     for name, spec in bf.items():
         if name not in patch_faces or not isinstance(spec, dict):
             continue
-        kind_str = spec.get("type", "zeroGradient")
-        if kind_str == "uniformFixedValue":
-            # time-varying uniform value (e.g. the xiaocase1 inlet ramp)
-            pb = _bc.PatchBC(_bc.FIXED_VALUE,
-                             _parse_uniform_value(spec.get("uniformValue"),
-                                                  n_comp))
-            for fid in patch_faces[name]:
-                slots[fid] = pb
-            continue
-        kind = _BC_TYPE_MAP.get(kind_str, _bc.ZERO_GRADIENT)
-        if kind == _bc.FIXED_VALUE:
-            val = foamdict.uniform_value(spec.get("value", 0.0))
-        elif kind == _bc.INLET_OUTLET:
-            val = foamdict.uniform_value(spec.get("inletValue", 0.0))
-        else:
-            val = 0.0
-        if val == "$internalField":  # OpenFOAM macro expansion
-            val = internal
-        if isinstance(val, list):
-            vt = tuple(float(v) for v in val)
-        else:
-            vt = (float(val),) * n_comp
-        pb = _bc.PatchBC(kind, vt)
+        pb = _patch_bc_from_spec(spec, n_comp, internal)
+        by_name[name] = pb
         for fid in patch_faces[name]:
-            slots[fid] = pb
+            if fid not in region_fids:
+                slots[fid] = pb
+    for fid, (inner_n, outer_n, disc) in (regions or {}).items():
+        inner = by_name.get(inner_n)
+        outer = by_name.get(outer_n)
+        if inner is None or outer is None:
+            slots[fid] = inner or outer
+        elif inner == outer:
+            slots[fid] = inner
+        else:
+            slots[fid] = _bc.RegionPatchBC(inner, outer, disc)
     default = _bc.PatchBC(_bc.ZERO_GRADIENT, (0.0,) * n_comp)
     return _bc.FieldBC(*(s or default for s in slots)), internal
 
 
 def load_case(case_dir: str, capacity: Optional[int] = None,
               backend: str = "dense", neighbor_k: Optional[int] = None,
-              dtype=jnp.float64):
+              dtype=jnp.float64, embed_ogrid: bool = False):
     """Load a reference case -> (SimConfig, FluidState, ParticleState,
-    CaseControls). backend: DEM contact backend ('dense' | 'binned')."""
+    CaseControls). backend: DEM contact backend ('dense' | 'binned').
+
+    embed_ogrid: opt-in for O-grid cases (jetFlow): embed the mesh into
+    its Cartesian bounding box (see read_block_mesh_embedded) instead of
+    refusing. Off by default — the embedding changes the discretization
+    (circular outer wall -> box walls, matching the case's own DEM box),
+    so it must be an explicit choice.
+    """
     sys_d = os.path.join(case_dir, "system")
     const_d = os.path.join(case_dir, "constant")
     zero_d = os.path.join(case_dir, "0")
 
-    grid, patch_faces = read_block_mesh(
-        os.path.join(const_d, "polyMesh", "blockMeshDict"))
+    mesh_path = os.path.join(const_d, "polyMesh", "blockMeshDict")
+    regions = None
+    try:
+        grid, patch_faces = read_block_mesh(mesh_path)
+    except UnsupportedMeshError:
+        if not embed_ogrid:
+            raise UnsupportedMeshError(
+                "blockMeshDict is outside the tensor-product mesh model; "
+                "pass embed_ogrid=True to run this case on an embedded "
+                "Cartesian mesh (O-grid -> bounding box, see "
+                "read_block_mesh_embedded)") from None
+        grid, patch_faces, regions = read_block_mesh_embedded(mesh_path)
 
     control = foamdict.parse_file(os.path.join(sys_d, "controlDict"))
     controls = CaseControls(
@@ -507,16 +748,17 @@ def load_case(case_dir: str, capacity: Optional[int] = None,
 
     # boundary conditions + initial fields
     bcs_alpha, alpha0 = _read_field_bc(os.path.join(zero_d, "alpha"),
-                                       patch_faces, 1)
-    bcs_p, p0 = _read_field_bc(os.path.join(zero_d, "p"), patch_faces, 1)
+                                       patch_faces, 1, regions)
+    bcs_p, p0 = _read_field_bc(os.path.join(zero_d, "p"), patch_faces, 1,
+                               regions)
     ub_file = os.path.join(zero_d, "Ub")
     if os.path.exists(ub_file):
-        bcs_Ub, Ub0 = _read_field_bc(ub_file, patch_faces, 3)
+        bcs_Ub, Ub0 = _read_field_bc(ub_file, patch_faces, 3, regions)
     else:
         # some example cases ship no 0/Ub (e.g. transport-bedload):
         # mirror Ua's patch kinds with no-slip walls, start from rest
         bcs_Ua_tmp, _ = _read_field_bc(os.path.join(zero_d, "Ua"),
-                                       patch_faces, 3)
+                                       patch_faces, 3, regions)
         bcs_Ub = _bc.FieldBC(*(
             _bc.PatchBC(_bc.FIXED_VALUE, (0.0, 0.0, 0.0))
             if bcs_Ua_tmp.patch(p).kind in (_bc.SLIP, _bc.FIXED_VALUE)
@@ -525,7 +767,7 @@ def load_case(case_dir: str, capacity: Optional[int] = None,
         Ub0 = 0.0
     ua_file = os.path.join(zero_d, "Ua")
     if os.path.exists(ua_file):
-        bcs_Ua, _ = _read_field_bc(ua_file, patch_faces, 3)
+        bcs_Ua, _ = _read_field_bc(ua_file, patch_faces, 3, regions)
     else:
         bcs_Ua = _bc.uniform_bc(_bc.ZERO_GRADIENT, (0.0, 0.0, 0.0))
         # mirror empty patches from Ub

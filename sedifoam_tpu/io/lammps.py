@@ -82,6 +82,7 @@ def parse_input_script(path: str) -> LammpsCase:
     case = LammpsCase()
     walls: List[WallSpec] = []
     group_types = {}  # group name -> tuple of particle types
+    subtract_excluded = {}  # subtract-from-all group -> excluded types
     with open(path) as f:
         for raw in f:
             line = raw.split("#")[0].strip()
@@ -112,6 +113,17 @@ def parse_input_script(path: str) -> LammpsCase:
                         else:
                             types.append(int(t))
                 group_types[toks[1]] = tuple(types)
+            elif cmd == "group" and len(toks) >= 4 and toks[2] == "subtract":
+                # `group active subtract all bottom` (jetFlow/in.lammps):
+                # integration fixes applied to such a group exclude the
+                # subtracted types -> those types are frozen (the same
+                # immobilization the reference gets from restricting
+                # fix nve/sphere to the group)
+                if toks[3] == "all":
+                    excluded = set()
+                    for g in toks[4:]:
+                        excluded |= set(group_types.get(g, ()))
+                    subtract_excluded[toks[1]] = tuple(sorted(excluded))
             elif cmd == "read_data":
                 case.data_file = toks[1]
             elif cmd == "pair_style":
@@ -177,6 +189,14 @@ def parse_input_script(path: str) -> LammpsCase:
                         ah=float(toks[4]), lam=float(toks[5]),
                         smin=float(toks[6]), smax=float(toks[7]),
                         model=int(toks[8]) if len(toks) > 8 else 0)
+                elif fstyle in ("nve/sphere", "nve") \
+                        and toks[2] in subtract_excluded:
+                    # integration restricted to a subtract-from-all group:
+                    # the excluded types never move (jetFlow's frozen
+                    # `bottom` type-2 bed)
+                    case.frozen_types = tuple(sorted(
+                        set(case.frozen_types)
+                        | set(subtract_excluded[toks[2]])))
     case.walls = tuple(walls)
     if case.data_file:
         data_path = os.path.join(os.path.dirname(path), case.data_file)

@@ -92,16 +92,18 @@ def zero_term(grid: Grid, dtype=jnp.float64) -> LinTerm:
     return LinTerm(z, lambda x: jnp.zeros_like(x), z)
 
 
+def _hom_patch(p):
+    if isinstance(p, _bc.RegionPatchBC):
+        return _bc.RegionPatchBC(_hom_patch(p.inside), _hom_patch(p.outside),
+                                 p.region)
+    v = p.value
+    n = v.n_comp if isinstance(v, _bc.TimeTable) else len(v)
+    return _bc.PatchBC(p.kind, (0.0,) * n)
+
+
 def _homogeneous(fbc: _bc.FieldBC) -> _bc.FieldBC:
     """Same BC kinds with zeroed values — the linear part of the operator."""
-    def n_comp(p):
-        v = fbc.patch(p).value
-        return v.n_comp if isinstance(v, _bc.TimeTable) else len(v)
-
-    return _bc.FieldBC(*(
-        _bc.PatchBC(fbc.patch(p).kind, (0.0,) * n_comp(p))
-        for p in _bc.PATCHES
-    ))
+    return _bc.FieldBC(*(_hom_patch(fbc.patch(p)) for p in _bc.PATCHES))
 
 
 # ---------------------------------------------------------------------------
@@ -172,6 +174,17 @@ def _bc_conv_coeffs(patch: _bc.PatchBC, lo: bool, phi_slab, dtype, t=0.0):
     raise ValueError(f"unknown BC kind {k}")
 
 
+def _conv_coeffs(patch, lo: bool, phi_slab, grid, dtype, t=0.0):
+    """_bc_conv_coeffs with RegionPatchBC blending (mask over the face)."""
+    if isinstance(patch, _bc.RegionPatchBC):
+        m = jnp.asarray(patch.region.mask(grid), dtype)
+        ic_i, bv_i = _conv_coeffs(patch.inside, lo, phi_slab, grid, dtype, t)
+        ic_o, bv_o = _conv_coeffs(patch.outside, lo, phi_slab, grid, dtype, t)
+        return (m * ic_i + (1.0 - m) * ic_o,
+                m * bv_i + (1.0 - m) * bv_o)
+    return _bc_conv_coeffs(patch, lo, phi_slab, dtype, t)
+
+
 def div(phi: FaceField, field, grid: Grid, fbc: _bc.FieldBC,
         weights: Optional[FaceField] = None, t=0.0) -> LinTerm:
     """fvm::div(phi, c) with owner-side face weights (from ops.limited_weights
@@ -197,8 +210,8 @@ def div(phi: FaceField, field, grid: Grid, fbc: _bc.FieldBC,
                 Fhi = pm[-1:] * wrapval
             else:
                 # linear part only: boundary-value contributions live in rhs
-                ic_lo, _ = _bc_conv_coeffs(lo_p, True, pm[:1], x.dtype, t)
-                ic_hi, _ = _bc_conv_coeffs(hi_p, False, pm[-1:], x.dtype, t)
+                ic_lo, _ = _conv_coeffs(lo_p, True, pm[:1], grid, x.dtype, t)
+                ic_hi, _ = _conv_coeffs(hi_p, False, pm[-1:], grid, x.dtype, t)
                 Flo = pm[:1] * ic_lo * xm[:1]
                 Fhi = pm[-1:] * ic_hi * xm[-1:]
             F = jnp.concatenate([Flo, Fint, Fhi], axis=0)
@@ -224,8 +237,9 @@ def div(phi: FaceField, field, grid: Grid, fbc: _bc.FieldBC,
             dm = dm.at[:1].add(-pm[:1] * 0.5)
             dm = dm.at[-1:].add(pm[-1:] * 0.5)
         else:
-            ic_lo, bv_lo = _bc_conv_coeffs(lo_p, True, pm[:1], diag.dtype, t)
-            ic_hi, bv_hi = _bc_conv_coeffs(hi_p, False, pm[-1:], diag.dtype, t)
+            ic_lo, bv_lo = _conv_coeffs(lo_p, True, pm[:1], grid, diag.dtype, t)
+            ic_hi, bv_hi = _conv_coeffs(hi_p, False, pm[-1:], grid,
+                                        diag.dtype, t)
             dm = dm.at[:1].add(-pm[:1] * ic_lo)
             dm = dm.at[-1:].add(pm[-1:] * ic_hi)
             rm = rm.at[:1].add(pm[:1] * bv_lo)
@@ -297,25 +311,36 @@ def laplacian(gamma_face, grid: Grid, fbc: _bc.FieldBC,
         dm = dm.at[:-1].add(-coef_int)
         dm = dm.at[1:].add(-coef_int)
         lo_p, hi_p = fbc.axis(a)
-        for is_lo, patch, gslab, inv_b in ((True, lo_p, gm[:1], inv_lo),
-                                           (False, hi_p, gm[-1:], inv_hi)):
-            idx = slice(0, 1) if is_lo else slice(-1, None)
+
+        def _bnd(patch, is_lo, gslab, inv_b, idx):
+            """(diag_add, rhs_add) slabs for one boundary patch."""
+            zero = jnp.zeros_like(gslab * area_m)
+            if isinstance(patch, _bc.RegionPatchBC):
+                m = jnp.asarray(patch.region.mask(grid), dtype)
+                di, ri = _bnd(patch.inside, is_lo, gslab, inv_b, idx)
+                do, ro = _bnd(patch.outside, is_lo, gslab, inv_b, idx)
+                return (m * di + (1.0 - m) * do,
+                        m * ri + (1.0 - m) * ro)
             if patch.kind == _bc.FIXED_VALUE:
                 c = gslab * area_m * inv_b
-                dm = dm.at[idx].add(-c)
-                rm = rm.at[idx].add(-c * patch.value_at(t))
-            elif patch.kind == _bc.CYCLIC:
-                c = gslab * area_m * inv_cyc
-                dm = dm.at[idx].add(-c)
-            elif patch.kind == _bc.INLET_OUTLET:
-                if phi is None:
-                    continue  # zeroGradient fallback (no flux context)
+                return -c, -c * patch.value_at(t)
+            if patch.kind == _bc.CYCLIC:
+                return -(gslab * area_m * inv_cyc), zero
+            if patch.kind == _bc.INLET_OUTLET and phi is not None:
                 pslab = ops._mv(phi[a], a)[idx]
                 outflow = (pslab < 0) if is_lo else (pslab > 0)
                 c = jnp.where(outflow, 0.0, gslab * area_m * inv_b)
-                dm = dm.at[idx].add(-c)
-                rm = rm.at[idx].add(-c * patch.value_at(t))
-            # zeroGradient/empty/slip: zero flux, nothing to add
+                return -c, -c * patch.value_at(t)
+            # zeroGradient/empty/slip (and inletOutlet w/o flux context):
+            # zero flux, nothing to add
+            return zero, zero
+
+        for is_lo, patch, gslab, inv_b in ((True, lo_p, gm[:1], inv_lo),
+                                           (False, hi_p, gm[-1:], inv_hi)):
+            idx = slice(0, 1) if is_lo else slice(-1, None)
+            d_add, r_add = _bnd(patch, is_lo, gslab, inv_b, idx)
+            dm = dm.at[idx].add(d_add)
+            rm = rm.at[idx].add(r_add)
         diag = diag + ops._mvback(dm, a)
         rhs = rhs + ops._mvback(rm, a)
 

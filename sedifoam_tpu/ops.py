@@ -143,20 +143,33 @@ def _axis_faces(c, axis: int, grid: Grid, fbc: _bc.FieldBC,
     phi_ax = None if phi is None else _mv(phi[axis], axis)
     w_lin, inv_d, d_lo, d_hi, d_cyc = _axis_geom(grid, axis, cm.dtype)
 
+    def bval(slab, patch, lo, other, phis):
+        if isinstance(patch, _bc.RegionPatchBC):
+            m = jnp.asarray(patch.region.mask(grid), slab.dtype)
+            return m * bval(slab, patch.inside, lo, other, phis) \
+                + (1.0 - m) * bval(slab, patch.outside, lo, other, phis)
+        return _boundary_face_value(slab, patch, lo, other, phis, t)
+
+    def bgrad(slab, patch, lo, d, other, phis):
+        if isinstance(patch, _bc.RegionPatchBC):
+            m = jnp.asarray(patch.region.mask(grid), slab.dtype)
+            return m * bgrad(slab, patch.inside, lo, d, other, phis) \
+                + (1.0 - m) * bgrad(slab, patch.outside, lo, d, other, phis)
+        return _boundary_sngrad(slab, patch, lo, d, other, phis, t,
+                                d_cyc=d_cyc)
+
     if mode == "interp":
         inner = w_lin * cm[:-1] + (1.0 - w_lin) * cm[1:]
-        lo = _boundary_face_value(cm[:1], lo_patch, True, cm[-1:],
-                                  None if phi_ax is None else phi_ax[:1], t)
-        hi = _boundary_face_value(cm[-1:], hi_patch, False, cm[:1],
-                                  None if phi_ax is None else phi_ax[-1:], t)
+        lo = bval(cm[:1], lo_patch, True, cm[-1:],
+                  None if phi_ax is None else phi_ax[:1])
+        hi = bval(cm[-1:], hi_patch, False, cm[:1],
+                  None if phi_ax is None else phi_ax[-1:])
     else:
         inner = (cm[1:] - cm[:-1]) * inv_d
-        lo = _boundary_sngrad(cm[:1], lo_patch, True, d_lo, cm[-1:],
-                              None if phi_ax is None else phi_ax[:1], t,
-                              d_cyc=d_cyc)
-        hi = _boundary_sngrad(cm[-1:], hi_patch, False, d_hi, cm[:1],
-                              None if phi_ax is None else phi_ax[-1:], t,
-                              d_cyc=d_cyc)
+        lo = bgrad(cm[:1], lo_patch, True, d_lo, cm[-1:],
+                   None if phi_ax is None else phi_ax[:1])
+        hi = bgrad(cm[-1:], hi_patch, False, d_hi, cm[:1],
+                   None if phi_ax is None else phi_ax[-1:])
     return _mvback(jnp.concatenate([lo, inner, hi], axis=0), axis)
 
 
