@@ -82,12 +82,22 @@ def evolve(fluid: FluidState, particles: ParticleState,
     alpha, Ua = fluid.alpha, fluid.Ua
     for k in range(ccfg.sub_cycles):
         if inject_on:
-            particles_, tta, key = _inject.maybe_add_delete(
+            particles_, tta, key, changed = _inject.maybe_add_delete(
                 particles, particles.time_to_add, particles.rng_key,
                 sites, grid, ccfg, fcfg.dt)
             particles = particles_._replace(time_to_add=tta, rng_key=key)
-            # new contacts need fresh neighbor tables / forces
-            particles = _dem.setup_forces(particles, dcfg)
+
+            # new contacts need fresh neighbor tables / forces — but only
+            # when the population actually changed (adds fire every
+            # addParticleTimeStep, not every coupled step; the forced
+            # rebuild is the single most expensive op in injection cases)
+            def _setup(st):
+                st = _dem.maybe_rebuild_neighbors(st, dcfg, force=True)
+                return _dem.compute_forces(st, dcfg, shearupdate=False)
+
+            import jax as _jax
+            particles = _jax.lax.cond(changed, _setup, lambda st: st,
+                                      particles)
 
         p_drag, p_dudt, particles = _forces.particle_forces(
             particles, uf_smoothed, uf_smoothed_old, grad_p, curl_u,

@@ -55,6 +55,13 @@ def make_binner(lo: Tuple[float, float, float], hi: Tuple[float, float, float],
     nby = max(int((hi[1] - lo[1]) / cutoff), 1)
     nbz = max(int((hi[2] - lo[2]) / cutoff), 1)
     n_bins = nbx * nby * nbz
+    if n_bins + 1 >= 2 ** 31:
+        # bin ids are int32 lane values; no memory scales with n_bins
+        # (extents come from searchsorted at the queried ids) but the id
+        # arithmetic must not wrap
+        raise ValueError(
+            f"bin grid {nbx}x{nby}x{nbz} overflows int32 ids; "
+            "increase the cutoff or shrink the domain")
     K = k_neighbors
     M = max_per_bin
     nb = (nbx, nby, nbz)
@@ -82,12 +89,14 @@ def make_binner(lo: Tuple[float, float, float], hi: Tuple[float, float, float],
 
         order = jnp.argsort(bin_id)                 # (N,) particle ids
         sorted_bins = bin_id[order]
-        starts = jnp.searchsorted(sorted_bins, jnp.arange(n_bins + 1))
 
         # candidate SLOTS (positions in the sorted order): for each of 27
-        # offsets, M entries from that bin; layout (27M, N) keeps N minor
-        slot_list, valid_list = [], []
-        arangeM = jnp.arange(M)[:, None]            # (M, 1)
+        # offsets, M entries from that bin; layout (27M, N) keeps N minor.
+        # Bin extents come from searchsorted AT THE QUERIED IDS — never
+        # from an O(n_bins) starts table: a dilute case's bin grid can
+        # dwarf the particle count (jetFlow: 0.3 m box / 0.8 mm cutoff =
+        # 52M bins; the full-table rebuild measured 5.7 s vs ~10 ms here)
+        ok_list, nbid_list = [], []
         for (di, dj, dk) in offsets:
             nijk = ijk + jnp.asarray([di, dj, dk])
             ok = jnp.ones(n, bool)
@@ -100,42 +109,66 @@ def make_binner(lo: Tuple[float, float, float], hi: Tuple[float, float, float],
                     ok &= (col >= 0) & (col < nb[a])
                 cols.append(col)
             nb_id = (cols[0] * nby + cols[1]) * nbz + cols[2]
-            nb_id = jnp.clip(nb_id, 0, n_bins - 1)
-            s = starts[nb_id]
-            e = starts[nb_id + 1]
-            slot = s[None, :] + arangeM              # (M, N)
-            v = ok[None, :] & (slot < e[None, :])
-            slot_list.append(jnp.clip(slot, 0, n - 1))
-            valid_list.append(v)
-        slots = jnp.concatenate(slot_list, axis=0)    # (27M, N)
-        valid = jnp.concatenate(valid_list, axis=0)
+            ok_list.append(ok)
+            nbid_list.append(jnp.clip(nb_id, 0, n_bins - 1))
+        nb_ids = jnp.stack(nbid_list)                 # (27, N)
+        # method="sort": the default binary search lowers to ~13 rounds
+        # of scalar gathers (~33 ns/elem on TPU; measured 206 ms for
+        # these shapes); the rank-by-sort form is ~19x faster
+        s27 = jnp.searchsorted(sorted_bins, nb_ids, method="sort")
+        e27 = jnp.searchsorted(sorted_bins, nb_ids + 1, method="sort")
+        arangeM = jnp.arange(M)[None, :, None]        # (1, M, 1)
+        slot = s27[:, None, :] + arangeM              # (27, M, N)
+        valid = jnp.stack(ok_list)[:, None, :] & (slot < e27[:, None, :])
+        slots = jnp.clip(slot, 0, n - 1).reshape(-1, n)   # (27M, N)
+        valid = valid.reshape(-1, n)
 
-        # distances via SORTED positions (per-component; a (27M,N,3) row
-        # gather would tile the 3-axis to 128 lanes = 42x memory)
+        # distances via SORTED positions
         me_slot = jnp.argsort(order)                  # particle -> sorted pos
         valid &= slots != me_slot[None, :]
         valid &= active[None, :]
-        d2 = jnp.zeros_like(slots, pos.dtype)
-        for c in range(3):
-            pc_sorted = pos[:, c][order]
-            diff = pos[:, c][None, :] - pc_sorted[slots]
-            if plen[c] is not None:
-                diff = diff - plen[c] * jnp.round(diff / plen[c])
-            d2 = d2 + diff * diff
+        if n <= 32768:
+            # ONE (27M, N, 3) partner row gather fused into the d2
+            # reduction: per-component scalar gathers cost ~33 ns/elem,
+            # ~16x a row gather (measured 212 vs 13 ms at N=8k, where
+            # injection cases rebuild every add)
+            pos_sorted = pos[order]                   # (N, 3)
+            diff = pos[None, :, :] - pos_sorted[slots]    # (27M, N, 3)
+            for c in range(3):
+                if plen[c] is not None:
+                    dc = diff[..., c]
+                    diff = diff.at[..., c].set(
+                        dc - plen[c] * jnp.round(dc / plen[c]))
+            d2 = jnp.sum(diff * diff, axis=-1)
+        else:
+            # at large N, XLA can materialize the (27M, N, 3) gather in
+            # its lane-padded (3 -> 128) layout — 18 GB at 131k — so fall
+            # back to per-component scalar gathers; big beds rebuild on
+            # the Verlet-skin cadence, not every step, so the slower
+            # rebuild amortizes
+            d2 = jnp.zeros_like(slots, pos.dtype)
+            for c in range(3):
+                pc_sorted = pos[:, c][order]
+                diff = pos[:, c][None, :] - pc_sorted[slots]
+                if plen[c] is not None:
+                    diff = diff - plen[c] * jnp.round(diff / plen[c])
+                d2 = d2 + diff * diff
         d2 = jnp.where(valid, d2, jnp.inf)
 
-        # K nearest via top_k on the minor axis, then a single small
-        # (K, N) gather recovers the particle ids
-        negd2, sel = jax.lax.top_k(-d2.T, K)          # (N, K)
-        slot_sel = jnp.take_along_axis(slots.T, sel, axis=1)   # (N, K)
-        keep = jnp.isfinite(-negd2)
-        idx = order[slot_sel]                          # (N, K)
+        # K nearest via ascending argsort on the candidate axis (top_k
+        # on the transposed minor axis measured 12x slower), then a
+        # small (K, N) gather recovers the particle ids
+        sel = jnp.argsort(d2, axis=0)[:K]              # (K, N)
+        d2k = jnp.take_along_axis(d2, sel, axis=0)
+        slot_sel = jnp.take_along_axis(slots, sel, axis=0)     # (K, N)
+        keep = jnp.isfinite(d2k)
+        idx = order[slot_sel]                          # (K, N)
         if audit_ring > 0.0:
             inring = jnp.sum(d2 < audit_ring * audit_ring, axis=0)  # (N,)
             dropped = jnp.sum(jnp.maximum(inring - K, 0))
         else:
             dropped = jnp.zeros((), jnp.int32)
-        return (jnp.where(keep, idx, n).astype(jnp.int32).T,
+        return (jnp.where(keep, idx, n).astype(jnp.int32),
                 dropped.astype(jnp.int32))
 
     return rebuild
@@ -225,7 +258,9 @@ def carry_over_shear(old_idx, new_idx, old_shear):
             (new_idx[:, None, :] < n)                 # (Kn, Ko, N)
     m = match.astype(old_shear.dtype)
     # HIGHEST: TPU f32 einsum defaults to bfloat16 passes, which would
-    # round the carried shear history to ~3 digits at every rebuild
+    # round the carried shear history to ~3 digits at every rebuild.
+    # (A VPU mask-multiply-reduce was measured 26x SLOWER here — the
+    # (3, Kn, Ko, N) broadcast materializes through HBM.)
     return jnp.einsum("kon,con->ckn", m, old_shear,
                       precision=jax.lax.Precision.HIGHEST)
 
