@@ -58,3 +58,39 @@ class TimeAverager:
 
     def mean(self, name: str):
         return self.sums[name] / max(self.n, 1)
+
+
+def find_faces_on_patch(grid: Grid, face_id: int, boxes: Sequence):
+    """utilities/findFaceOnPatch analogue (findFaceOnPatch.C:57-86):
+    locate boundary faces on one box patch whose centers fall inside any
+    of the given (start, end) point pairs.
+
+    face_id: canonical patch face id (0..5 = xm,xp,ym,yp,zm,zp).
+    boxes: sequence of (start_xyz, end_xyz) pairs; a face center c is
+    selected when (c - start) * (c - end) <= 0 component-wise, exactly
+    the reference's sign test (so degenerate boxes select a line/plane
+    of faces).
+
+    Returns (ids, centers): ids (n, 2) int in-plane cell indices on the
+    patch (ascending-axis order), centers (n, 3) face-center coordinates
+    — the structured-mesh equivalent of the reference's global face
+    labels written to `faceList`.
+    """
+    ax = face_id // 2
+    oa, ob = (a for a in range(3) if a != ax)
+    plane = grid.axis_faces(ax)[0 if face_id % 2 == 0 else -1]
+    ca = grid.axis_centers(oa)
+    cb = grid.axis_centers(ob)
+    A, B = np.meshgrid(ca, cb, indexing="ij")
+    centers = np.empty(A.shape + (3,))
+    centers[..., ax] = plane
+    centers[..., oa] = A
+    centers[..., ob] = B
+    flat = centers.reshape(-1, 3)
+    keep = np.zeros(len(flat), bool)
+    for start, end in boxes:
+        s = np.asarray(start, float)
+        e = np.asarray(end, float)
+        keep |= np.all((flat - s) * (flat - e) <= 0.0, axis=1)
+    ids = np.argwhere(keep.reshape(A.shape))
+    return ids, flat[keep]
