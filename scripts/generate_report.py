@@ -101,6 +101,37 @@ def plot_wachem(results, plots, lines):
     lines.append("![expWachem](plots/expWachem_pressure.png)\n")
 
 
+def plot_jetflow(results, plots, lines):
+    f = os.path.join(results, "jetflow_centerline.npz")
+    if not os.path.exists(f):
+        return
+    d = np.load(f)
+    times, uc = d["times"], d["uc"]
+    stations = (10, 20, 30, 40, 50)       # y/D probe stations
+    D, U0 = 0.005, 1.72
+    fig, (a1, a2) = plt.subplots(1, 2, figsize=(11, 4))
+    for i, s in enumerate(stations):
+        a1.plot(times, uc[:, i] / U0, lw=1, label=f"y/D={s}")
+    a1.set_xlabel("t [s]")
+    a1.set_ylabel("Uc / U0")
+    a1.set_title("jetFlow: centerline velocity (kEqn LES)")
+    a1.legend(fontsize=8)
+    late = times > 0.6 * times[-1]
+    uc_mean = uc[late].mean(axis=0)
+    inv = np.asarray(stations, float)
+    a2.plot(inv, U0 / np.maximum(uc_mean, 1e-9), "ro-",
+            label="sedifoam-tpu (late-time mean)")
+    a2.plot(inv, inv / 5.8, "k--", label="U0/Uc = (y/D)/B, B=5.8 (exp.)")
+    a2.set_xlabel("y/D")
+    a2.set_ylabel("U0 / Uc")
+    a2.set_title("round-jet decay")
+    a2.legend(fontsize=8)
+    out = os.path.join(plots, "jetflow_decay.png")
+    plt.savefig(out, dpi=110, bbox_inches="tight")
+    plt.close()
+    lines.append("![jetFlow](plots/jetflow_decay.png)\n")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--results", default=os.path.join(
@@ -134,6 +165,7 @@ def main():
     plot_mueller("expMueller06", results, plots, lines)
     plot_mueller("expMueller09", results, plots, lines)
     plot_wachem(results, plots, lines)
+    plot_jetflow(results, plots, lines)
 
     out = os.path.join(results, "report.md")
     with open(out, "w") as fh:
