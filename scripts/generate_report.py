@@ -132,6 +132,29 @@ def plot_jetflow(results, plots, lines):
     lines.append("![jetFlow](plots/jetflow_decay.png)\n")
 
 
+def plot_bedload(results, plots, lines):
+    f = os.path.join(results, "bedload_transport.npz")
+    if not os.path.exists(f):
+        return
+    d = np.load(f)
+    plt.figure(figsize=(7, 4))
+    plt.plot(d["t"], d["q_star"], "b-", lw=0.8, alpha=0.6,
+             label="instantaneous q*")
+    plt.axhline(float(d["q_star_mean"]), color="r", lw=1.5,
+                label=f"mean q* = {float(d['q_star_mean']):.2f}")
+    plt.axhline(float(d["q_star_mpm"]), color="k", ls="--", lw=1.5,
+                label=f"MPM 8(θ-θc)^1.5 = {float(d['q_star_mpm']):.2f} "
+                      f"(θ = {float(d['theta']):.3f})")
+    plt.xlabel("t [s]")
+    plt.ylabel("q* = q / sqrt((s-1) g d³)")
+    plt.title("transport-bedload: bed-load rate vs Meyer-Peter & Müller")
+    plt.legend(fontsize=8)
+    out = os.path.join(plots, "bedload_qstar.png")
+    plt.savefig(out, dpi=110, bbox_inches="tight")
+    plt.close()
+    lines.append("![bedload](plots/bedload_qstar.png)\n")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--results", default=os.path.join(
@@ -166,6 +189,7 @@ def main():
     plot_mueller("expMueller09", results, plots, lines)
     plot_wachem(results, plots, lines)
     plot_jetflow(results, plots, lines)
+    plot_bedload(results, plots, lines)
 
     out = os.path.join(results, "report.md")
     with open(out, "w") as fh:
