@@ -268,7 +268,7 @@ def carry_over_shear(old_idx, new_idx, old_shear):
 def gather_partners(state: ParticleState, idx, periodic_len=None):
     """Partner-field gather for the (K, N) neighbor table.
 
-    Returns (has (K,N) bool, pg (K,N,11) packed partner fields, delta
+    Returns (has (K,N) bool, pg (K,N,12) packed partner fields, delta
     3-tuple of x_i - x_j with minimum image, rsq). Packed layout:
     [x,y,z, vx,vy,vz, wx,wy,wz, rad, m].
     ONE row gather for all partner fields: scalar gathers cost ~10x a
@@ -278,13 +278,17 @@ def gather_partners(state: ParticleState, idx, periodic_len=None):
     x, v, w = state.pos, state.vel, state.omega
     rad, m = state.radius, state.mass
 
-    has = idx < n
     j = jnp.clip(idx, 0, n - 1)                   # (K, N)
     packed = jnp.stack([x[:, 0], x[:, 1], x[:, 2],
                         v[:, 0], v[:, 1], v[:, 2],
                         w[:, 0], w[:, 1], w[:, 2],
-                        rad, m], axis=-1)         # (N, 11)
-    pg = packed[j]                                # (K, N, 11)
+                        rad, m,
+                        state.active.astype(x.dtype)], axis=-1)  # (N, 12)
+    pg = packed[j]                                # (K, N, 12)
+    # partner must be a live slot AND an active particle: a deactivated
+    # particle (delete region / left the domain) stays in the table
+    # until the next rebuild, and its stale row must not exert forces
+    has = (idx < n) & (pg[..., 11] > 0.5)
 
     from sedifoam_tpu.dem.pair import min_image
     delta = min_image(tuple(x[:, c][None, :] - pg[..., c] for c in range(3)),
