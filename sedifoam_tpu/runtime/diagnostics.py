@@ -72,10 +72,15 @@ def compute(state: SimState, grid: Grid, cfg: FluidConfig, dem_cfg=None
 
     # audit drift: how much the plain f32 tree-sum differs from the
     # compensated accumulator on the largest-cancellation total — a
-    # live measure of f32 accumulation error (recorded per battery case)
-    asrc_y_plain = jnp.sum(fs.Asrc[1] * V * one_minus)
+    # live measure of f32 accumulation error (recorded per battery case).
+    # Normalized by the ABSOLUTE-value mass of the sum: the signed total
+    # legitimately crosses zero at a fluidization plateau, and a
+    # near-zero denominator would turn benign round-off into an O(1)
+    # "drift" (seen as 1.99 on xiaocase1's end state)
+    terms = fs.Asrc[1] * V * one_minus
+    asrc_y_plain = jnp.sum(terms)
     audit_drift = jnp.abs(asrc_y_plain - f_total[1]) / (
-        jnp.abs(f_total[1]) + 1e-30)
+        stable_sum(jnp.abs(terms), pol) + 1e-30)
 
     out = {
         "courant": co,
