@@ -107,8 +107,8 @@ def plot_jetflow(results, plots, lines):
         return
     d = np.load(f)
     times, uc = d["times"], d["uc"]
-    stations = (10, 20, 30, 40, 50)       # y/D probe stations
-    D, U0 = 0.005, 1.72
+    stations = [int(s) for s in d["stations"]]    # y/D probe stations
+    D, U0 = float(d["D"]), float(d["U0"])
     fig, (a1, a2) = plt.subplots(1, 2, figsize=(11, 4))
     for i, s in enumerate(stations):
         a1.plot(times, uc[:, i] / U0, lw=1, label=f"y/D={s}")

@@ -129,6 +129,13 @@ def main():
         "expWachem_PCM": lambda: run_json(
             [PY, "scripts/validate_wachem.py", "--t-end", t_wa,
              "--out", os.path.join(RESULTS, "expWachem_PCM")]),
+        # example-case (not auto-testing): the O-grid jet via the
+        # embedded-Cartesian loader; gates live in the validator
+        # (inlet flux, disc area, centerline decay, particle transit)
+        "jetFlow": lambda: run_json(
+            [PY, "scripts/validate_jetflow.py"]
+            + (["--quick"] if args.quick else
+               ["--out", os.path.join(RESULTS, "jetflow_centerline.npz")])),
     }
 
     def judge(name, data):
@@ -179,6 +186,8 @@ def main():
                 if aerrs:
                     ok &= max(aerrs) < 0.20
                 return bool(ok)
+            if name == "jetFlow":
+                return bool(data.get("passed"))
             if name == "expWachem_PCM":
                 # tightened round 3 (measured 8.7% in round 2)
                 ok = data.get("dp_vs_bed_weight_rel_err", 1.0) < 0.10
@@ -201,6 +210,11 @@ def main():
             prev = json.load(f)
         if bool(prev.get("quick")) == args.quick:
             report["cases"].update(prev.get("cases", {}))
+    # full runs stream progress into <report>.partial and only replace
+    # the real report at completion — an interrupted battery must not
+    # clobber the last complete report with a 2-case stub (which is how
+    # a truncated report.json once got committed and broke its CI gate)
+    live_path = args.report if only else args.report + ".partial"
     for name, fn in cases.items():
         if only and name not in only:
             continue
@@ -211,9 +225,11 @@ def main():
                                  "wall_s": round(secs, 1), **data}
         print(f"=== {name}: {'PASS' if passed else 'FAIL'} "
               f"({secs:.0f}s) {json.dumps(data)[:300]}", flush=True)
-        with open(args.report, "w") as f:
+        with open(live_path, "w") as f:
             json.dump(report, f, indent=1)
 
+    if live_path != args.report:
+        os.replace(live_path, args.report)
     n_pass = sum(1 for c in report["cases"].values() if c["passed"])
     print(f"=== {n_pass}/{len(report['cases'])} cases passed -> "
           f"{args.report}")

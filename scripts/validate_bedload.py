@@ -90,15 +90,6 @@ def assemble(tmp, d, n_layers):
     return case, n
 
 
-def coarsen_faces(f, step):
-    import numpy as np
-    f = np.asarray(f)
-    out = f[::step]
-    if out[-1] != f[-1]:
-        out = np.concatenate([out, f[-1:]])
-    return out
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--t-end", type=float, default=3.0)
@@ -125,6 +116,7 @@ def main():
     from sedifoam_tpu.io.case import load_case
     from sedifoam_tpu.runtime.runner import Simulation
     from sedifoam_tpu.solver import initialize
+    from sedifoam_tpu.utils.postprocess import coarsen_faces
 
     d = 2.5e-3
     tmp = tempfile.mkdtemp(prefix="bedload_")

@@ -59,9 +59,10 @@ def main():
         args.case, backend="binned", dtype=dtype, embed_ogrid=True,
         capacity=args.capacity if not args.quick else 8192)
     if args.quick:
+        from sedifoam_tpu.utils.postprocess import coarsen_faces
         g = cfg.grid
-        grid = Grid.from_faces(*(np.asarray(g.axis_faces(a))[::2]
-                                 for a in range(3)))
+        grid = Grid.from_faces(*(coarsen_faces(np.asarray(g.axis_faces(a)),
+                                               2) for a in range(3)))
         cfg = dataclasses.replace(cfg, grid=grid)
         fluid = init_fluid(grid, dtype=dtype)
     state = initialize(fluid, particles, cfg)
@@ -73,8 +74,8 @@ def main():
                      steps_per_host_visit=25)
     sim.run(t_end, probe_every=2)
 
-    times, Ub = sim.probes.series("Ub")        # (n_t, n_probe, 3)
-    uc = Ub[:, :, 1]
+    times, Ub = sim.probes.series("Ub")        # (n_t, 3, n_probe)
+    uc = Ub[:, 1, :]                           # axial (y) component
 
     fs = sim.state.fluid
     disc = cfg.bcs.Ub.ym.region
@@ -129,7 +130,8 @@ def main():
     result["passed"] = all(gates.values())
     print(json.dumps(result))
     if args.out:
-        np.savez(args.out, times=times, uc=uc)
+        np.savez(args.out, times=times, uc=uc,
+                 stations=np.asarray(stations, float), D=D, U0=U0)
 
 
 if __name__ == "__main__":

@@ -270,7 +270,8 @@ def gather_partners(state: ParticleState, idx, periodic_len=None):
 
     Returns (has (K,N) bool, pg (K,N,12) packed partner fields, delta
     3-tuple of x_i - x_j with minimum image, rsq). Packed layout:
-    [x,y,z, vx,vy,vz, wx,wy,wz, rad, m].
+    [x,y,z, vx,vy,vz, wx,wy,wz, rad, m, active] — column 11 is the
+    partner-activity flag already folded into `has`.
     ONE row gather for all partner fields: scalar gathers cost ~10x a
     row gather on TPU (each lookup pays index processing; rows amortize).
     """

@@ -470,7 +470,20 @@ def _read_field_bc(field_file: str, patch_faces: Dict[str, List[int]],
         inner = by_name.get(inner_n)
         outer = by_name.get(outer_n)
         if inner is None or outer is None:
-            slots[fid] = inner or outer
+            # one of the face's two named patches is absent from this
+            # 0/<field> file — blend the present spec against the
+            # zeroGradient default over its OWN region only (applying it
+            # across the whole mixed face would e.g. paint a disc-inlet
+            # velocity over the entire bottom wall); OpenFOAM would
+            # abort on the missing patch, so warn loudly
+            import warnings
+            missing = outer_n if outer is None else inner_n
+            warnings.warn(
+                f"{field_file}: patch '{missing}' missing for the mixed "
+                f"face {fid}; using zeroGradient for its region",
+                stacklevel=2)
+            zg = _bc.PatchBC(_bc.ZERO_GRADIENT, (0.0,) * n_comp)
+            slots[fid] = _bc.RegionPatchBC(inner or zg, outer or zg, disc)
         elif inner == outer:
             slots[fid] = inner
         else:

@@ -94,3 +94,13 @@ def find_faces_on_patch(grid: Grid, face_id: int, boxes: Sequence):
         keep |= np.all((flat - s) * (flat - e) <= 0.0, axis=1)
     ids = np.argwhere(keep.reshape(A.shape))
     return ids, flat[keep]
+
+
+def coarsen_faces(faces, step: int):
+    """Every `step`-th face with the domain endpoint preserved — plain
+    [::step] silently shrinks the domain when (len-1) % step != 0."""
+    f = np.asarray(faces)
+    out = f[::step]
+    if out[-1] != f[-1]:
+        out = np.concatenate([out, f[-1:]])
+    return out

@@ -96,7 +96,8 @@ def test_embedded_case_steps():
     from sedifoam_tpu.grid import Grid
     import dataclasses
     g = cfg.grid
-    grid = Grid.from_faces(*(np.asarray(g.axis_faces(a))[::4]
+    from sedifoam_tpu.utils.postprocess import coarsen_faces
+    grid = Grid.from_faces(*(coarsen_faces(np.asarray(g.axis_faces(a)), 4)
                              for a in range(3)))
     cfg = dataclasses.replace(cfg, grid=grid)
     from sedifoam_tpu.fluid.state import init_fluid
