@@ -82,21 +82,23 @@ def evolve(fluid: FluidState, particles: ParticleState,
     alpha, Ua = fluid.alpha, fluid.Ua
     for k in range(ccfg.sub_cycles):
         if inject_on:
-            particles_, tta, key, changed = _inject.maybe_add_delete(
+            particles_, tta, key, added = _inject.maybe_add_delete(
                 particles, particles.time_to_add, particles.rng_key,
                 sites, grid, ccfg, fcfg.dt)
             particles = particles_._replace(time_to_add=tta, rng_key=key)
 
-            # new contacts need fresh neighbor tables / forces — but only
-            # when the population actually changed (adds fire every
-            # addParticleTimeStep, not every coupled step; the forced
-            # rebuild is the single most expensive op in injection cases)
+            # newly ADDED particles need fresh neighbor tables / forces
+            # (their reused slots carry stale rows) — but only when an
+            # add actually fired (every addParticleTimeStep, not every
+            # coupled step). Deletions are safe without a rebuild: the
+            # partner-activity mask zeroes a deactivated particle out of
+            # every force path (tests/test_ghost_partner.py).
             def _setup(st):
                 st = _dem.maybe_rebuild_neighbors(st, dcfg, force=True)
                 return _dem.compute_forces(st, dcfg, shearupdate=False)
 
             import jax as _jax
-            particles = _jax.lax.cond(changed, _setup, lambda st: st,
+            particles = _jax.lax.cond(added, _setup, lambda st: st,
                                       particles)
 
         p_drag, p_dudt, particles = _forces.particle_forces(

@@ -121,13 +121,16 @@ def maybe_add_delete(state: ParticleState, time_to_add, rng_key,
     Matches softParticleCloud.C:1206-1268: when the countdown expires, the
     seed region is (optionally) cleared and refilled and the countdown
     resets; otherwise it decrements by the fluid dt. Box deletion runs
-    every call. Returns (state, new_time_to_add, new_rng_key, changed) —
-    `changed` is a traced bool, True when the population actually changed
-    (an add fired or a box delete removed someone), so the caller can
-    gate the forced neighbor-rebuild/setup pass on it instead of paying
-    it every coupled step.
+    every call. Returns (state, new_time_to_add, new_rng_key, added) —
+    `added` is a traced bool, True when an add actually fired, so the
+    caller can gate the forced neighbor-rebuild/setup pass on it instead
+    of paying it every coupled step. Deletions alone need NO rebuild:
+    a newly activated slot's table row is stale (must be rebuilt before
+    it can touch anyone), but a deactivated particle is masked out of
+    every force path by the partner-activity flag in the packed gathers
+    (tests/test_ghost_partner.py).
     """
-    changed = jnp.asarray(False)
+    added = jnp.asarray(False)
     if ccfg.add_particle > 0 and sites.shape[0] > 0:
         key_add, key_next = jax.random.split(rng_key)
 
@@ -141,11 +144,9 @@ def maybe_add_delete(state: ParticleState, time_to_add, rng_key,
         time_to_add = jnp.where(due, ccfg.add_interval,
                                 time_to_add - dt_fluid)
         rng_key = key_next
-        changed = changed | due
+        added = added | due
 
     if ccfg.delete_particle > 0 and len(ccfg.delete_box) == 6:
-        n_before = jnp.sum(state.active)
         state = delete_in_box(state, ccfg.delete_box)
-        changed = changed | (jnp.sum(state.active) != n_before)
 
-    return state, time_to_add, rng_key, changed
+    return state, time_to_add, rng_key, added
