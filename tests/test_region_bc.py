@@ -162,3 +162,36 @@ def test_disc_inlet_jet_conserves_mass():
     assert np.isfinite(np.asarray(fs.p)).all()
     # continuity
     assert float(jnp.abs(ops.div_flux(fs.phib, grid)).max()) < 1e-8
+
+
+def test_one_sided_region_spec_blends_against_default(tmp_path):
+    """A mixed O-grid face whose 0/<field> file names only one of its two
+    patches must blend that spec against zeroGradient over its own
+    region (with a warning), NOT paint it across the whole face
+    (io/case.py _read_field_bc)."""
+    import warnings
+
+    from sedifoam_tpu.io.case import _read_field_bc
+
+    f = tmp_path / "Ubad"
+    f.write_text("""
+FoamFile { version 2.0; format ascii; class volVectorField; object Ub; }
+dimensions [0 1 -1 0 0 0 0];
+internalField uniform (0 0 0);
+boundaryField
+{
+    inlet { type fixedValue; value uniform (0 1.72 0); }
+    top   { type zeroGradient; }
+}
+""")
+    region = bc.DiscRegion(axis=1, c0=0.0, c1=0.0, radius=0.0025)
+    regions = {2: ("inlet", "bottom", region)}   # `bottom` spec missing
+    patch_faces = {"inlet": [2], "bottom": [2], "top": [3]}
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        fbc, _ = _read_field_bc(str(f), patch_faces, 3, regions)
+    assert any("bottom" in str(x.message) for x in w)
+    ym = fbc.ym
+    assert isinstance(ym, bc.RegionPatchBC)
+    assert ym.inside.kind == bc.FIXED_VALUE
+    assert ym.outside.kind == bc.ZERO_GRADIENT   # default, not the inlet
