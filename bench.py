@@ -18,9 +18,17 @@ COUPLED step against the reference's DEM-only inner loop; see
 BASELINE.md for the node-level framing.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Regression gate: BENCH_floor.json records the performance floor (0.85 x
+best recorded). After printing the JSON line, a full-size TPU run that
+lands under the floor exits nonzero with a loud report — the class of
+silent 3x cliff that shipped in round 3 (c28bb68) can no longer pass a
+bench run. Run `python bench.py` after any commit touching dem/ or
+coupling/.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -178,6 +186,23 @@ def main():
         "vs_baseline": round(
             psteps / REFERENCE_MEASURED_PSTEPS_PER_CORE, 4),
     }))
+
+    # perf regression gate (full-size TPU runs only: the floor is a
+    # real-chip number; CPU/small runs measure nothing comparable)
+    floor_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "BENCH_floor.json")
+    if (not small and backend == "binned"
+            and jax.default_backend() != "cpu"
+            and os.path.exists(floor_path)):
+        with open(floor_path) as f:
+            gate = json.load(f)
+        if psteps < gate["floor"]:
+            print(f"BENCH REGRESSION: {psteps / 1e6:.2f}M < floor "
+                  f"{gate['floor'] / 1e6:.2f}M (= 0.85 x best recorded "
+                  f"{gate['best'] / 1e6:.2f}M at {gate['best_commit']}). "
+                  "A commit cost >15% of the headline benchmark — find "
+                  "it before shipping.", file=sys.stderr)
+            raise SystemExit(1)
 
 
 if __name__ == "__main__":

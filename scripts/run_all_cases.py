@@ -71,21 +71,24 @@ def main():
     avg0 = "0.5" if args.quick else "2"
     mu_seeds = (0,) if args.quick else (0, 1, 2)
 
-    def run_mueller06_multiseed():
-        """>=3 realizations; the gate below is on the SEED-MEAN lineY3
-        profile (a single chaotic realization's amplitude swings ~2x;
-        the ensemble mean is what the experiment's long average sees)."""
+    def run_mueller_multiseed(case):
+        """>=3 realizations; the gate below is on the SEED-MEAN profiles
+        of the lines the reference's own report compares — lineY3 for
+        06, lineY3..5 for 09 (a single chaotic realization's amplitude
+        swings ~2x; the ensemble mean is what the experiment's long
+        average sees)."""
         import numpy as np
-        case_dir = ("/root/reference/cases/auto-testing/test-cases/"
-                    "expMueller06")
+        case_dir = f"/root/reference/cases/auto-testing/test-cases/{case}"
+        lines = ("lineY3",) if case.endswith("06") else \
+            ("lineY3", "lineY4", "lineY5")
         t0 = time.time()
         data = {"seeds": list(mu_seeds)}
         oks, profs = [], []
         for s in mu_seeds:
-            out = os.path.join(RESULTS, f"expMueller06_profiles_seed{s}.npz")
+            out = os.path.join(RESULTS, f"{case}_profiles_seed{s}.npz")
             ok, d, secs = run_json(
                 [PY, "scripts/validate_expMueller.py", "--case",
-                 "expMueller06", "--t-end", t_mu, "--t-avg-start", avg0,
+                 case, "--t-end", t_mu, "--t-avg-start", avg0,
                  "--seed", str(s), "--out", out])
             oks.append(ok)
             prefix = f"seed{s}_" if s else ""
@@ -95,19 +98,22 @@ def main():
             print(f"  - seed {s}: {'ok' if ok else 'FAIL'} ({secs:.0f}s)",
                   flush=True)
             if ok and os.path.exists(out):
-                profs.append(np.load(out)["lineY3"])
-        if profs:
+                profs.append(np.load(out))
+        for line in lines:
+            if not profs:
+                break
             bench = np.loadtxt(os.path.join(case_dir, "data", "sets_bench",
-                                            "lineY3_UaMean.xy"))
-            x = profs[0][:, 0]
+                                            f"{line}_UaMean.xy"))
+            x = profs[0][line][:, 0]
             denom = max(np.abs(bench[:, 2]).max(), 1e-9)
-            per_seed = [np.interp(bench[:, 0], x, p[:, 2]) for p in profs]
+            per_seed = [np.interp(bench[:, 0], x, p[line][:, 2])
+                        for p in profs]
             vy = np.mean(per_seed, axis=0)
-            data["seedmean_lineY3_uy_rms_err"] = float(
+            data[f"seedmean_{line}_uy_rms_err"] = float(
                 np.sqrt(np.mean((vy - bench[:, 2]) ** 2)) / denom)
-            data["seedmean_lineY3_uy_corr"] = float(
+            data[f"seedmean_{line}_uy_corr"] = float(
                 np.corrcoef(vy, bench[:, 2])[0, 1])
-            data["per_seed_lineY3_uy_rms_err"] = [
+            data[f"per_seed_{line}_uy_rms_err"] = [
                 float(np.sqrt(np.mean((v - bench[:, 2]) ** 2)) / denom)
                 for v in per_seed]
         return all(oks), data, time.time() - t0
@@ -121,11 +127,8 @@ def main():
         "xiaocase1": lambda: run_json(
             [PY, "scripts/validate_xiaocase1.py", "--t-end", t_x1,
              "--out", os.path.join(RESULTS, "xiaocase1_dp_curve.npz")]),
-        "expMueller06": run_mueller06_multiseed,
-        "expMueller09": lambda: run_json(
-            [PY, "scripts/validate_expMueller.py", "--case", "expMueller09",
-             "--t-end", t_mu, "--t-avg-start", avg0,
-             "--out", os.path.join(RESULTS, "expMueller09_profiles.npz")]),
+        "expMueller06": lambda: run_mueller_multiseed("expMueller06"),
+        "expMueller09": lambda: run_mueller_multiseed("expMueller09"),
         "expWachem_PCM": lambda: run_json(
             [PY, "scripts/validate_wachem.py", "--t-end", t_wa,
              "--out", os.path.join(RESULTS, "expWachem_PCM")]),
@@ -160,9 +163,16 @@ def main():
                 if "seedmean_lineY3_uy_rms_err" in data:
                     # multi-seed run: the ensemble mean must hit a
                     # TIGHTENED bound (0.25 vs the 0.50 single-seed
-                    # sanity bound), per VERDICT r2 weak #4
-                    ok = data["seedmean_lineY3_uy_rms_err"] < 0.25
-                    ok &= data["seedmean_lineY3_uy_corr"] > 0.90
+                    # sanity bound), per VERDICT r2 weak #4 (06) and
+                    # r3 weak #6 (09: every gated line, Y3..Y5)
+                    gate_lines = (("lineY3",) if name.endswith("06")
+                                  else ("lineY3", "lineY4", "lineY5"))
+                    ok = True
+                    for line in gate_lines:
+                        ok &= data.get(f"seedmean_{line}_uy_rms_err",
+                                       1.0) < 0.25
+                        ok &= data.get(f"seedmean_{line}_uy_corr",
+                                       0.0) > 0.90
                     aerrs = [v for k, v in data.items()
                              if k.endswith("_alpha_rms_err")
                              and ("lineY1" in k or "lineY2" in k)]
@@ -193,7 +203,12 @@ def main():
                 ok = data.get("dp_vs_bed_weight_rel_err", 1.0) < 0.10
                 ok &= data.get("continuity_err", 1e9) < 0.1
                 ok &= data.get("alpha_min", -1.0) > -1e-4
-                if "dp_vs_baseline_rel_err" in data:
+                # a run that creates its own baseline is a vacuous
+                # regression check (ADVICE r3): full runs REQUIRE the
+                # comparison against a pre-existing baseline
+                if not args.quick:
+                    ok &= data.get("dp_vs_baseline_rel_err", 1e9) < 0.10
+                elif "dp_vs_baseline_rel_err" in data:
                     ok &= data["dp_vs_baseline_rel_err"] < 0.10
                 return bool(ok)
         except TypeError:

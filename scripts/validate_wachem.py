@@ -115,7 +115,11 @@ def main():
             dp_mean / float(base["dp_mean"]) - 1.0)
     elif args.out:
         np.savez(args.baseline, times=times, dp=dp, dp_mean=dp_mean)
+        # a run that creates its own baseline has nothing to regress
+        # against — report it as a distinct status so the battery judge
+        # can refuse to count it as a pass (ADVICE r3)
         result["baseline_created"] = True
+        result["status"] = "baseline"
 
     # per-phase wall split (writeCPUTime.H analogue) for the perf record
     result["timing_split_ms"] = {

@@ -40,18 +40,28 @@ def _smooth_fn(grid: Grid, ccfg: CloudConfig):
                    direction=ccfg.smooth_direction)
 
 
-def _delete_outside(state: ParticleState, grid: Grid,
-                    periodic=(False, False, False)) -> ParticleState:
+def _delete_outside(state: ParticleState, grid: Grid, dcfg: DEMConfig
+                    ) -> ParticleState:
     """Deactivate particles that left the fluid domain (OpenFOAM deletes
     them on wall-patch hit during Cloud::move). Periodic (cyclic) axes
-    never delete — particles wrap instead (softParticle.C:186-198)."""
+    never delete — particles wrap instead (softParticle.C:186-198).
+
+    A delete event also scrubs the neighbor tables (lax.cond-gated on an
+    actual deletion) so stale partners exert no forces — the reference
+    removes the atom from LAMMPS outright (library.cpp:492-621)."""
+    import jax as _jax
     lo = (grid.x0, grid.y0, grid.z0)
     hi = grid.hi
     inside = jnp.ones(state.pos.shape[0], bool)
     for a in range(3):
-        if not periodic[a]:
+        if not dcfg.periodic[a]:
             inside &= (state.pos[:, a] >= lo[a]) & (state.pos[:, a] <= hi[a])
-    return state._replace(active=state.active & inside)
+    new_active = state.active & inside
+    deleted = jnp.any(new_active != state.active)
+    state = state._replace(active=new_active)
+    return _jax.lax.cond(deleted,
+                         lambda st: _dem.scrub_deactivated(st, dcfg),
+                         lambda st: st, state)
 
 
 def evolve(fluid: FluidState, particles: ParticleState,
@@ -82,7 +92,7 @@ def evolve(fluid: FluidState, particles: ParticleState,
     alpha, Ua = fluid.alpha, fluid.Ua
     for k in range(ccfg.sub_cycles):
         if inject_on:
-            particles_, tta, key, added = _inject.maybe_add_delete(
+            particles_, tta, key, added, deleted = _inject.maybe_add_delete(
                 particles, particles.time_to_add, particles.rng_key,
                 sites, grid, ccfg, fcfg.dt)
             particles = particles_._replace(time_to_add=tta, rng_key=key)
@@ -90,16 +100,21 @@ def evolve(fluid: FluidState, particles: ParticleState,
             # newly ADDED particles need fresh neighbor tables / forces
             # (their reused slots carry stale rows) — but only when an
             # add actually fired (every addParticleTimeStep, not every
-            # coupled step). Deletions are safe without a rebuild: the
-            # partner-activity mask zeroes a deactivated particle out of
-            # every force path (tests/test_ghost_partner.py).
+            # coupled step). Deletions alone skip the rebuild but must
+            # scrub stale partners out of the tables
+            # (tests/test_ghost_partner.py).
             def _setup(st):
                 st = _dem.maybe_rebuild_neighbors(st, dcfg, force=True)
                 return _dem.compute_forces(st, dcfg, shearupdate=False)
 
             import jax as _jax
-            particles = _jax.lax.cond(added, _setup, lambda st: st,
-                                      particles)
+
+            def _no_add(st):
+                return _jax.lax.cond(
+                    deleted, lambda s: _dem.scrub_deactivated(s, dcfg),
+                    lambda s: s, st)
+
+            particles = _jax.lax.cond(added, _setup, _no_add, particles)
 
         p_drag, p_dudt, particles = _forces.particle_forces(
             particles, uf_smoothed, uf_smoothed_old, grad_p, curl_u,
@@ -113,7 +128,7 @@ def evolve(fluid: FluidState, particles: ParticleState,
         particles = particles._replace(vel_fluid_old=vel_before)
 
         if ccfg.delete_outside:
-            particles = _delete_outside(particles, grid, dcfg.periodic)
+            particles = _delete_outside(particles, grid, dcfg)
 
         if k == 0:
             alpha, Ua = _transfer.particle_to_eulerian(

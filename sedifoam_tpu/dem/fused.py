@@ -219,13 +219,13 @@ def pair_forces_binned_fused(state: ParticleState, params: PairParams,
     packed = jnp.stack([x[:, 0], x[:, 1], x[:, 2],
                         v[:, 0], v[:, 1], v[:, 2],
                         w[:, 0], w[:, 1], w[:, 2],
-                        rad, m,
-                        state.active.astype(x.dtype)], axis=-1).astype(f32)
+                        rad, m, jnp.zeros_like(rad)], axis=-1).astype(f32)
     pg = packed[j]                                # (K, N, 12) ONE row gather
     part = jnp.moveaxis(pg, -1, 0)                # (12, K, N)
-    # live slot AND active partner: deactivated particles stay in the
-    # table until the next rebuild and must not exert forces
-    part = part.at[11].multiply(has.astype(f32))
+    # slot-valid flag only: deactivated partners are scrubbed out of the
+    # TABLE at the delete event (neighbor.scrub_dead_partners) — a live
+    # gathered activity column here measured a 3x substep cliff
+    part = part.at[11].set(has.astype(f32))
 
     own = jnp.stack([x[:, 0], x[:, 1], x[:, 2],
                      v[:, 0], v[:, 1], v[:, 2],

@@ -121,16 +121,18 @@ def maybe_add_delete(state: ParticleState, time_to_add, rng_key,
     Matches softParticleCloud.C:1206-1268: when the countdown expires, the
     seed region is (optionally) cleared and refilled and the countdown
     resets; otherwise it decrements by the fluid dt. Box deletion runs
-    every call. Returns (state, new_time_to_add, new_rng_key, added) —
-    `added` is a traced bool, True when an add actually fired, so the
-    caller can gate the forced neighbor-rebuild/setup pass on it instead
-    of paying it every coupled step. Deletions alone need NO rebuild:
-    a newly activated slot's table row is stale (must be rebuilt before
-    it can touch anyone), but a deactivated particle is masked out of
-    every force path by the partner-activity flag in the packed gathers
-    (tests/test_ghost_partner.py).
+    every call. Returns (state, new_time_to_add, new_rng_key, added,
+    deleted) — `added` is a traced bool, True when an add actually
+    fired, so the caller can gate the forced neighbor-rebuild/setup pass
+    on it instead of paying it every coupled step. `deleted` is True
+    when the box delete deactivated anyone: deletions need no full
+    rebuild, but the caller MUST scrub the neighbor tables (integrate.
+    scrub_deactivated) so stale partners stop exerting forces
+    (tests/test_ghost_partner.py). The delete_before_add clear needs
+    neither: the add path's forced rebuild covers it.
     """
     added = jnp.asarray(False)
+    deleted = jnp.asarray(False)
     if ccfg.add_particle > 0 and sites.shape[0] > 0:
         key_add, key_next = jax.random.split(rng_key)
 
@@ -147,6 +149,8 @@ def maybe_add_delete(state: ParticleState, time_to_add, rng_key,
         added = added | due
 
     if ccfg.delete_particle > 0 and len(ccfg.delete_box) == 6:
+        was_active = state.active
         state = delete_in_box(state, ccfg.delete_box)
+        deleted = deleted | jnp.any(was_active != state.active)
 
-    return state, time_to_add, rng_key, added
+    return state, time_to_add, rng_key, added, deleted

@@ -26,6 +26,22 @@ from sedifoam_tpu.dem.walls import wall_forces
 _INERTIA = 0.4  # solid sphere moment-of-inertia factor (LAMMPS nve/sphere)
 
 
+def scrub_deactivated(state: ParticleState, cfg: DEMConfig) -> ParticleState:
+    """Invalidate table slots pointing at deactivated particles.
+
+    MUST be called (lax.cond-gated on an actual delete) by every path
+    that flips `active` off between rebuilds: the partner gathers trust
+    the table (see neighbor.scrub_dead_partners). Dense and pencil
+    backends mask `active` per pair-eval and need no scrub.
+    """
+    if cfg.backend not in ("binned", "lattice") or \
+            state.nbr_idx.shape[0] == 0:
+        return state
+    from sedifoam_tpu.dem.neighbor import scrub_dead_partners
+    return state._replace(
+        nbr_idx=scrub_dead_partners(state.nbr_idx, state.active))
+
+
 def maybe_rebuild_neighbors(state: ParticleState, cfg: DEMConfig,
                             force: bool = False) -> ParticleState:
     """Verlet-skin rebuild check (binned backend only)."""

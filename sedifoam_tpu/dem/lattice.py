@@ -193,18 +193,16 @@ def pack_fields(state: ParticleState, slot_particle, geom: LatticeGeom):
     Returns (fields dict of (M, S) arrays, has (M, S) bool).
     """
     n = state.n_capacity
+    has = slot_particle < n
     j = jnp.clip(slot_particle, 0, n - 1)
     packed = jnp.stack([state.pos[:, 0], state.pos[:, 1], state.pos[:, 2],
                         state.vel[:, 0], state.vel[:, 1], state.vel[:, 2],
                         state.omega[:, 0], state.omega[:, 1],
                         state.omega[:, 2],
-                        state.radius, state.mass,
-                        state.active.astype(state.mass.dtype)],
-                       axis=-1)                               # (N, 12)
-    pg = packed[j]                                            # (M, S, 12)
-    # live slot AND active particle: a particle deactivated between
-    # rebuilds keeps its slot and must not exert forces
-    has = (slot_particle < n) & (pg[..., 11] > 0.5)
+                        state.radius, state.mass], axis=-1)   # (N, 11)
+    pg = packed[j]                                            # (M, S, 11)
+    # deactivated particles are scrubbed out of the slot table at the
+    # delete event (neighbor.scrub_dead_partners), not masked here
     fields = {k: jnp.where(has, pg[..., i], 0.0) for i, k in enumerate(
         ["x", "y", "z", "vx", "vy", "vz", "wx", "wy", "wz", "rad", "m"])}
     return fields, has

@@ -265,15 +265,40 @@ def carry_over_shear(old_idx, new_idx, old_shear):
                       precision=jax.lax.Precision.HIGHEST)
 
 
+def scrub_dead_partners(idx, active):
+    """Rewrite table slots that point at deactivated particles to the
+    empty sentinel (== n_capacity).
+
+    The reference deletes atoms from LAMMPS outright (library.cpp:
+    492-621), so a stale partner can never exert forces. Here deletion
+    is a mask flip and the (K, N) table keeps the row until the next
+    Verlet rebuild — so every DELETE EVENT must scrub the table once.
+    Scrubbing at the (rare, lax.cond-gated) event keeps the per-substep
+    partner gathers free of any activity column: a live 12th gathered
+    column measured a 3x cliff on the fused chain (31.9M -> 10.4M
+    coupled psteps/s, round-3 regression c28bb68).
+
+    Works for the binned (K, N) table and the lattice (M, S)
+    slot_particle table alike — both use idx == n as the empty slot.
+    tests/test_ghost_partner.py covers the delete paths end to end.
+    """
+    n = active.shape[0]
+    j = jnp.clip(idx, 0, n - 1)
+    keep = active[j] | (idx >= n)          # sentinel stays sentinel
+    return jnp.where(keep, idx, n).astype(idx.dtype)
+
+
 def gather_partners(state: ParticleState, idx, periodic_len=None):
     """Partner-field gather for the (K, N) neighbor table.
 
-    Returns (has (K,N) bool, pg (K,N,12) packed partner fields, delta
+    Returns (has (K,N) bool, pg (K,N,11) packed partner fields, delta
     3-tuple of x_i - x_j with minimum image, rsq). Packed layout:
-    [x,y,z, vx,vy,vz, wx,wy,wz, rad, m, active] — column 11 is the
-    partner-activity flag already folded into `has`.
+    [x,y,z, vx,vy,vz, wx,wy,wz, rad, m].
     ONE row gather for all partner fields: scalar gathers cost ~10x a
     row gather on TPU (each lookup pays index processing; rows amortize).
+    Partner activity is NOT gathered here: delete events scrub the
+    table instead (scrub_dead_partners) — keeping the gather free of a
+    live activity column is worth 3x on the fused chain.
     """
     n = state.n_capacity
     x, v, w = state.pos, state.vel, state.omega
@@ -283,13 +308,9 @@ def gather_partners(state: ParticleState, idx, periodic_len=None):
     packed = jnp.stack([x[:, 0], x[:, 1], x[:, 2],
                         v[:, 0], v[:, 1], v[:, 2],
                         w[:, 0], w[:, 1], w[:, 2],
-                        rad, m,
-                        state.active.astype(x.dtype)], axis=-1)  # (N, 12)
-    pg = packed[j]                                # (K, N, 12)
-    # partner must be a live slot AND an active particle: a deactivated
-    # particle (delete region / left the domain) stays in the table
-    # until the next rebuild, and its stale row must not exert forces
-    has = (idx < n) & (pg[..., 11] > 0.5)
+                        rad, m], axis=-1)         # (N, 11)
+    pg = packed[j]                                # (K, N, 11)
+    has = idx < n
 
     from sedifoam_tpu.dem.pair import min_image
     delta = min_image(tuple(x[:, c][None, :] - pg[..., c] for c in range(3)),

@@ -2,15 +2,20 @@
 
 Deactivation without an immediate table rebuild happens on two live
 paths: the per-step outside-the-domain delete (coupling/cloud.py
-_delete_outside) and delete regions when the forced setup is skipped.
-The reference removes the atom from LAMMPS outright
-(library.cpp:492-621), so a stale-slot ghost force would be a real
-physics divergence. All binned consumers share gather_partners'
-partner-activity mask; the lattice backend masks in pack_fields.
+_delete_outside) and delete regions (inject.maybe_add_delete). The
+reference removes the atom from LAMMPS outright (library.cpp:492-621),
+so a stale-slot ghost force would be a real physics divergence.
+
+Invariant under test: every delete path SCRUBS the neighbor/slot tables
+(integrate.scrub_deactivated -> neighbor.scrub_dead_partners) instead
+of masking activity inside the per-substep gathers — a live gathered
+activity column measured a 3x substep cliff on the fused chain
+(round-3 regression c28bb68: 31.9M -> 10.4M coupled psteps/s).
 """
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -39,6 +44,13 @@ def _touching_pair(backend, k=8):
     return st, cfg
 
 
+def _deactivate(st, cfg, i):
+    """Flip one particle off the way the delete paths do: mask flip +
+    table scrub (no rebuild)."""
+    st = st._replace(active=st.active.at[i].set(False))
+    return I.scrub_deactivated(st, cfg)
+
+
 @pytest.mark.parametrize("backend", ["binned", "dense"])
 def test_deactivated_partner_exerts_no_force(backend):
     st, cfg = _touching_pair(backend)
@@ -47,7 +59,7 @@ def test_deactivated_partner_exerts_no_force(backend):
     assert np.abs(f0[0]).max() > 0.0          # in contact
 
     # deactivate particle 1 WITHOUT a rebuild (stale table entry)
-    st2 = st._replace(active=st.active.at[1].set(False))
+    st2 = _deactivate(st, cfg, 1)
     st2 = I.compute_forces(st2, cfg, shearupdate=True)
     f2 = np.asarray(st2.force)
     assert np.abs(f2[0]).max() == 0.0, \
@@ -62,7 +74,7 @@ def test_deactivated_partner_no_cohesion_or_lubrication():
                                      smin=1e-9, smax=1e-4, model=0))
     st = I.setup_forces(st, cfg)
     assert np.abs(np.asarray(st.force)[0]).max() > 0.0
-    st2 = st._replace(active=st.active.at[1].set(False))
+    st2 = _deactivate(st, cfg, 1)
     st2 = I.compute_forces(st2, cfg, shearupdate=True)
     assert np.abs(np.asarray(st2.force)[0]).max() == 0.0
 
@@ -71,13 +83,64 @@ def test_deactivated_partner_lattice():
     from sedifoam_tpu.dem import lattice as _lat
     st, cfg = _touching_pair("lattice", k=16)
     geom = _lat.make_geom(cfg)
-    st, cfg2 = st, cfg
     lat_geom = geom
     st = make_particles(pos=np.asarray(st.pos), radius=5e-4,
                         density=2500.0, capacity=4, n_walls=0,
                         lattice_geom=lat_geom, dtype=jnp.float64)
     st = I.setup_forces(st, cfg)
     assert np.abs(np.asarray(st.force)[0]).max() > 0.0
-    st2 = st._replace(active=st.active.at[1].set(False))
+    st2 = _deactivate(st, cfg, 1)
+    st2 = I.compute_forces(st2, cfg, shearupdate=True)
+    assert np.abs(np.asarray(st2.force)[0]).max() == 0.0
+
+
+def test_delete_outside_scrubs_table():
+    """The live outside-the-domain delete path must scrub: after a
+    contact partner drifts out of the domain, the survivor feels no
+    force from its stale table row."""
+    from sedifoam_tpu.coupling.cloud import _delete_outside
+    from sedifoam_tpu.grid import Grid
+
+    st, cfg = _touching_pair("binned")
+    st = I.setup_forces(st, cfg)
+    assert np.abs(np.asarray(st.force)[0]).max() > 0.0
+
+    grid = Grid(nx=16, ny=16, nz=16, dx=1e-3, dy=1e-3, dz=1e-3)
+    # move particle 1 outside the domain (as the DEM substep would)
+    st = st._replace(pos=st.pos.at[1, 0].set(17e-3))
+    st2 = _delete_outside(st, grid, cfg)
+    assert not bool(st2.active[1])
+    n = st2.n_capacity
+    idx = np.asarray(st2.nbr_idx)
+    assert not (idx[:, 0] == 1).any(), "table still points at the ghost"
+    st2 = I.compute_forces(st2, cfg, shearupdate=True)
+    assert np.abs(np.asarray(st2.force)[0]).max() == 0.0
+
+
+def test_delete_box_scrubs_table():
+    """The delete-region path (inject.maybe_add_delete) reports the
+    deletion so the caller scrubs; the evolve wiring does this under
+    lax.cond — here we exercise the flag + scrub pair directly."""
+    from sedifoam_tpu.config import CloudConfig
+    from sedifoam_tpu.dem import inject as _inject
+    from sedifoam_tpu.grid import Grid
+
+    st, cfg = _touching_pair("binned")
+    st = st._replace(time_to_add=jnp.asarray(1e9),
+                     rng_key=jax.random.PRNGKey(0))
+    st = I.setup_forces(st, cfg)
+    assert np.abs(np.asarray(st.force)[0]).max() > 0.0
+
+    grid = Grid(nx=16, ny=16, nz=16, dx=1e-3, dy=1e-3, dz=1e-3)
+    d = 1e-3
+    ccfg = CloudConfig(delete_particle=1,
+                       delete_box=(8e-3 + 0.5 * d, 16e-3,
+                                   0.0, 16e-3, 0.0, 16e-3))
+    st2, _, _, added, deleted = _inject.maybe_add_delete(
+        st, st.time_to_add, st.rng_key, jnp.zeros((0, 3)), grid, ccfg,
+        dt_fluid=1e-4)
+    assert bool(deleted) and not bool(added)
+    assert not bool(st2.active[1])
+    st2 = I.scrub_deactivated(st2, cfg)
     st2 = I.compute_forces(st2, cfg, shearupdate=True)
     assert np.abs(np.asarray(st2.force)[0]).max() == 0.0

@@ -21,7 +21,7 @@ REPORT = os.path.join(os.path.dirname(__file__), "..", "results",
                       "report.json")
 
 EXPECTED = {"xiaocase3", "multiParticlesCollide", "xiaocase1",
-            "expMueller06", "expMueller09", "expWachem_PCM"}
+            "expMueller06", "expMueller09", "expWachem_PCM", "jetFlow"}
 
 
 @pytest.fixture(scope="module")

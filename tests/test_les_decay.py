@@ -3,27 +3,28 @@
 The closed-form identities in test_les_analytic.py pin the Smagorinsky
 algebra; this test gates the model's *effect on a resolved flow* — the
 gap the round-2 review flagged ("LES validation is analytic-only").
-An under-resolved multi-mode solenoidal field in a triply periodic box
-is advanced with the full PISO step and the Smagorinsky model on:
+A resolved multi-mode solenoidal field (modes k <= 2 on 24^3 — 12+
+points per wavelength so the limitedLinear limiter stays inactive and
+scheme dissipation stays small) is advanced with the full PISO step and
+the Smagorinsky model on:
 
 (a) resolved kinetic energy decays monotonically;
 (b) nut acts on the momentum equation, not just the diagnostic fields:
-    the LES trajectory sits below the laminar control pointwise and
-    loses strictly more total energy. (The margin is small by physics,
-    not by weakness: at 24^3 with limitedLinear+Euler the scheme
-    dissipation dominates the laminar run — measured molecular share
-    0.3% — and the SGS term smooths the resolved gradients, which
-    *reduces* the scheme dissipation it rides on; coarse-LES accounting,
-    not a bug. The decisive quantitative gates are (c)/(d).)
-(c) the modeled dissipation <2 nut |symm|^2> dominates molecular by
-    >50x throughout — nut is at the LES scale, (Cs*delta)^2|S| >> nu;
-(d) integrated modeled dissipation is a substantial fraction of the
-    total measured energy loss (measured 0.35; gated to [0.2, 1.0] —
-    above 1.0 would mean backscatter/antidissipation, below 0.2 the
-    model would be decorative);
-(e) mySmagorinsky at beta == 1 reproduces Smagorinsky exactly (the
-    reference's variant is the beta-weighted form,
-    LES/mySmagorinsky/mySmagorinsky.C; at beta=1 they coincide).
+    the LES run loses >= 1.5x the laminar control's energy (measured
+    2.9x) and a non-trivial fraction of the initial energy;
+(c) budget closure: window by window, the measured decay rate equals
+    modeled dissipation <2 (nu+nut)|symm|^2> plus the scheme
+    dissipation estimated from the laminar control (measured residual
+    <= 0.15 of the decay rate; gated at 0.35 — the trajectories
+    diverge, so the laminar eps_num estimate degrades in time);
+(d) the modeled dissipation is the majority of the measured decay
+    (measured 0.70; gated > 0.5) and dominates molecular by > 50x;
+(e) mySmagorinsky at beta == 1 reproduces Smagorinsky exactly. (Our
+    mySmagorinsky applies the phase weight beta directly to nut
+    (turbulence.py:84); the reference's mySmagorinsky.C correctNut is
+    plain Ck*delta*sqrt(k) with phase weighting entering via the
+    templated phase turbulence model — both coincide with Smagorinsky
+    at alpha = 0.)
 
 The reference exercises Smagorinsky only in situ (createTurbulence.H:16-27
 inside the Mueller cases); this is the isolated LES gate it lacks.
@@ -44,8 +45,10 @@ from sedifoam_tpu.grid import Grid
 N = 24
 L = 1.0
 NU = 1e-5          # molecular Re ~ 1e5: negligible vs SGS
-DT = 5e-3
-N_STEPS = 120      # ~ 2.4 large-eddy turnovers (U0 ~ 1, L/2 eddies)
+DT = 1e-3
+N_STEPS = 100
+SAMPLE = 10        # steps per ke/dissipation sample (shared: _run + gates)
+KMAX = 2           # IC modes 1..KMAX: 12+ points/wavelength at 24^3
 
 
 def _box(n=N):
@@ -59,17 +62,17 @@ def _box(n=N):
     return grid, bcs
 
 
-def _solenoidal_ic(grid):
+def _solenoidal_ic(grid, kmax=KMAX):
     """U = curl(A) for a random few-mode vector potential: analytically
-    divergence-free, smooth at 24^3 (k <= 3) so scheme dissipation
-    stays small relative to the SGS term."""
+    divergence-free and resolved (k <= kmax), so the TVD limiter stays
+    inactive and scheme dissipation stays small relative to SGS."""
     rng = np.random.RandomState(7)
     x, y, z = np.meshgrid(grid.axis_centers(0), grid.axis_centers(1),
                           grid.axis_centers(2), indexing="ij")
     U = np.zeros((3,) + grid.shape)
     two_pi = 2.0 * np.pi / L
     for _ in range(8):
-        k = rng.randint(1, 4, size=3) * two_pi          # modes 1..3
+        k = rng.randint(1, kmax + 1, size=3) * two_pi
         phase = rng.uniform(0, 2 * np.pi, size=3)
         amp = rng.uniform(-1.0, 1.0, size=3) / np.linalg.norm(k)
         # A_i = amp_i * sin(k.x + phi_i); U = curl A term by term
@@ -86,7 +89,7 @@ def _ke(fs):
     return float(0.5 * jnp.mean(jnp.sum(fs.Ub ** 2, axis=0)))
 
 
-def _run(model, grid, bcs, U0, n_steps=N_STEPS, sample=10):
+def _run(model, grid, bcs, U0, n_steps=N_STEPS, sample=SAMPLE):
     cfg = FluidConfig(
         dt=DT, rhob=1.0, nub=NU,
         piso=PISOConfig(n_correctors=1, p_tol=1e-9, p_max_iter=400),
@@ -118,27 +121,31 @@ def test_smagorinsky_decay_physics():
     assert np.isfinite(ke_les).all()
 
     # (b) the SGS model must dominate the laminar control: require the
-    # LES to dissipate >= 1.5x the laminar run's energy loss (laminar
-    # loss here is almost entirely scheme dissipation; NU alone would
-    # decay KE by < 1% over the run)
+    # LES to dissipate >= 1.5x the laminar run's energy loss (measured
+    # 2.9x; laminar loss here is almost entirely scheme dissipation —
+    # NU alone would decay KE by < 1% over the run)
     loss_les = ke_les[0] - ke_les[-1]
     loss_lam = ke_lam[0] - ke_lam[-1]
     assert loss_les > 1.5 * loss_lam, (loss_les, loss_lam)
-    assert loss_les > 0.15 * ke_les[0], (loss_les, ke_les[0])
+    assert loss_les > 0.10 * ke_les[0], (loss_les, ke_les[0])
 
-    # (c) budget closure: over each sampling window the modeled
-    # dissipation <2 (nu+nut)|symm|^2> must account for the measured
-    # decay within the scheme-dissipation margin measured on the
-    # laminar control. eps_num is estimated from the laminar run
-    # (whose modeled part is negligible), window by window.
-    t_win = sample_dt = 10 * DT
-    dke = -np.diff(ke_les) / t_win                # measured decay rate
+    # (c) budget closure: over each sampling window the decay rate must
+    # equal modeled dissipation + scheme dissipation (estimated window
+    # by window from the laminar control, whose modeled part is
+    # negligible). Window alignment: ke[i] and diss[i-1] are sampled at
+    # the same time, so window i (ke[i] -> ke[i+1]) starts at diss[i-1]
+    # — pair dke[1:] with diss[:-1].
+    t_win = SAMPLE * DT
+    dke = (-np.diff(ke_les) / t_win)[1:]          # measured decay rate
     eps_mod = diss_les[:-1]                       # start-of-window model
-    eps_num = (-np.diff(ke_lam) / t_win) - diss_lam[:-1]
+    eps_num = (-np.diff(ke_lam) / t_win)[1:] - diss_lam[:-1]
     resid = np.abs(dke - eps_mod - eps_num)
     assert np.all(resid < 0.35 * dke), (dke, eps_mod, eps_num)
-    # and the modeled part is the majority of the decay
+    # (d) the modeled part is the majority of the decay...
     assert eps_mod.sum() > 0.5 * dke.sum(), (eps_mod.sum(), dke.sum())
+    # ... and dominates molecular dissipation by > 50x
+    assert np.all(diss_lam < diss_les / 50.0 + 1e-30) or \
+        float(np.mean(diss_lam / diss_les)) < 0.02, (diss_lam, diss_les)
 
     # nut is nonnegative and active
     assert float(fs_les.nut.min()) >= 0.0
@@ -149,7 +156,8 @@ def test_smagorinsky_decay_physics():
 def test_mysmagorinsky_beta1_matches_smagorinsky():
     # beta = 1 - alpha = 1 everywhere (alpha=0): the beta-weighted
     # variant must reproduce plain Smagorinsky bit-for-bit on the same
-    # trajectory (mySmagorinsky.C reduces to Smagorinsky at beta=1).
+    # trajectory (our mySmagorinsky multiplies nut by beta,
+    # turbulence.py:84; at beta=1 it is Smagorinsky).
     grid, bcs = _box(n=12)
     U0 = _solenoidal_ic(grid)
     _, ke_a, _ = _run("Smagorinsky", grid, bcs, U0, n_steps=30)

@@ -100,7 +100,7 @@ def test_add_delete_particles():
     st = st._replace(time_to_add=jnp.asarray(0.0),
                      rng_key=jax.random.PRNGKey(1))
 
-    st2, tta, key, _ = inject.maybe_add_delete(
+    st2, tta, key, _, _ = inject.maybe_add_delete(
         st, st.time_to_add, st.rng_key, sites, grid, ccfg, dt_fluid=1e-3)
     assert int(st2.active.sum()) == 17      # 1 + 16 injected
     assert float(tta) == 0.1                # countdown reset
@@ -111,9 +111,10 @@ def test_add_delete_particles():
 
     # move a particle into the delete box -> removed on next call
     st3 = st2._replace(pos=st2.pos.at[0, 1].set(5e-4))
-    st4, _, _, _ = inject.maybe_add_delete(
+    st4, _, _, _, deleted = inject.maybe_add_delete(
         st3, tta, key, sites, grid, ccfg, dt_fluid=1e-3)
     assert not bool(st4.active[0])
+    assert bool(deleted)
     assert int(st4.active.sum()) == 16
 
 
