@@ -59,6 +59,11 @@ def _graded_faces(lo: float, hi: float, n: int, ratio: float) -> np.ndarray:
     return np.concatenate([[lo], lo + np.cumsum(w)])
 
 
+# re-export: load_case raises this for cases whose in.lammps reads an
+# absent IC data file (several example-cases ship without theirs)
+MissingICError = lammps.MissingICError
+
+
 class UnsupportedMeshError(ValueError):
     """blockMeshDict outside the tensor-product mesh model.
 

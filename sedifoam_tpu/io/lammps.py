@@ -25,6 +25,17 @@ _STYLE_MAP = {
 }
 
 
+class MissingICError(ValueError):
+    """The in.lammps script reads a particle data file that is absent.
+
+    Several reference example-cases ship without their `In_initial.in`
+    (the bed IC was generated out-of-repo; e.g.
+    cases/example-cases/transport-suspended/in.lammps:9). The reference
+    would die inside LAMMPS read_data the same way — this error makes
+    the refusal a one-line actionable diagnostic instead of a crash.
+    """
+
+
 def _lenient_float(tok: str) -> float:
     """atof-style parse: take the leading numeric prefix (the reference's
     cases contain tokens like '1.91+e2' that LAMMPS reads as 1.91)."""
@@ -200,8 +211,16 @@ def parse_input_script(path: str) -> LammpsCase:
     case.walls = tuple(walls)
     if case.data_file:
         data_path = os.path.join(os.path.dirname(path), case.data_file)
-        if os.path.exists(data_path):
-            _read_data_file(data_path, case)
+        if not os.path.exists(data_path):
+            raise MissingICError(
+                f"{path} reads particle IC data file "
+                f"'{case.data_file}', which does not exist at "
+                f"{data_path} (the reference ships several "
+                "example-cases without their generated bed IC). "
+                "Generate an IC data file, point read_data at an "
+                "existing one, or use the case's synthetic-bed "
+                "validator (scripts/validate_bedload.py style).")
+        _read_data_file(data_path, case)
     return case
 
 

