@@ -41,7 +41,7 @@ REFERENCE_MEASURED_PSTEPS_PER_CORE = 4.57e6
 
 
 def build_case(n_particles=2048, nx=32, ny=64, nz=32, sub_steps=10,
-               backend="dense"):
+               backend="dense", sort_on_rebuild=False):
     from sedifoam_tpu import bc
     from sedifoam_tpu.dem import lattice as _lat
     from sedifoam_tpu.dem import pencil as _pen
@@ -101,7 +101,11 @@ def build_case(n_particles=2048, nx=32, ny=64, nz=32, sub_steps=10,
                         backend=backend, nbr_k=nbr_k, max_per_bin=10,
                         cutoff=2 * r * 1.6, skin=0.6 * r,
                         audit_ring=2 * r + 0.6 * r,
-                        domain_lo=(0.0, 0.0, 0.0), domain_hi=L)
+                        domain_lo=(0.0, 0.0, 0.0), domain_hi=L,
+                        # multi-chip callers (the production-scale dryrun)
+                        # need bin-sorted slab alignment; single-chip bench
+                        # keeps it off (costs ~11%, no locality reward)
+                        sort_on_rebuild=sort_on_rebuild)
     lat_geom = _lat.make_geom(dem_cfg) if backend == "lattice" else None
     pen_geom = None
     if backend == "pencil":

@@ -107,6 +107,11 @@ def add_particles(state: ParticleState, sites: jnp.ndarray,
         sum_delta_fb=scat(state.sum_delta_fb,
                           jnp.zeros((n_add, 3), state.sum_delta_fb.dtype)),
         fdrag=scat(state.fdrag, jnp.zeros((n_add, 3), state.fdrag.dtype)),
+        # injected particles are free spheres; the slot may have belonged
+        # to a deleted rigid member — clear its body link
+        mol=scat(state.mol, jnp.zeros(n_add, jnp.int32)),
+        displace=scat(state.displace,
+                      jnp.zeros((n_add, 3), state.displace.dtype)),
         active=state.active.at[slots].set(
             jnp.where(ok, True, state.active[slots])),
     )

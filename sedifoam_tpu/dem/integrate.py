@@ -105,6 +105,13 @@ def maybe_rebuild_neighbors(state: ParticleState, cfg: DEMConfig,
         if sort_fn is not None:
             st = permute_particle_state(st, sort_fn(st.pos, st.active))
         idx, dropped = rebuild_fn(st.pos, st.active)
+        if st.rigid is not None:
+            # intra-body contacts are excluded at the TABLE (rebuild-time
+            # scrub, zero per-substep cost): members at fixed overlap
+            # exert central equal-opposite forces that cancel in the body
+            # sums anyway (dem/rigid.py module docstring)
+            from sedifoam_tpu.dem.rigid import scrub_same_mol
+            idx = scrub_same_mol(idx, st.mol)
         shear = carry_over_shear(st.nbr_idx, idx, st.shear)
         return st._replace(nbr_idx=idx, shear=shear, pos_at_build=st.pos,
                            nbr_dropped=jnp.maximum(st.nbr_dropped, dropped))
@@ -274,6 +281,14 @@ def _substep(state: ParticleState, cfg: DEMConfig, step_time):
     omega = state.omega + dtf * state.torque * iinv
     state = state._replace(pos=pos, vel=vel, omega=omega)
 
+    # rigid clumps (fix rigid/small molecule): body velocity-Verlet
+    # OVERWRITES member pos/vel/omega — the per-particle drift above is
+    # discarded for members (dem/rigid.py)
+    if state.rigid is not None:
+        from sedifoam_tpu.dem import rigid as _rig
+        state = _rig.initial_integrate(state, cfg.dt, cfg.domain_lo,
+                                       cfg.domain_hi, cfg.periodic)
+
     # neighbor maintenance + forces at the new positions
     state = maybe_rebuild_neighbors(state, cfg)
     state = compute_forces(state, cfg, step_time, shearupdate=True)
@@ -281,7 +296,11 @@ def _substep(state: ParticleState, cfg: DEMConfig, step_time):
     # final_integrate
     vel = state.vel + dtf * state.force * minv
     omega = state.omega + dtf * state.torque * iinv
-    return state._replace(vel=vel, omega=omega)
+    state = state._replace(vel=vel, omega=omega)
+    if state.rigid is not None:
+        from sedifoam_tpu.dem import rigid as _rig
+        state = _rig.final_integrate(state, cfg.dt)
+    return state
 
 
 def run_dem(state: ParticleState, cfg: DEMConfig, n_steps: int,

@@ -245,6 +245,9 @@ def permute_particle_state(st: ParticleState, order) -> ParticleState:
         v_old=p_rows(st.v_old), n0=p_rows(st.n0),
         sum_delta_fb=p_rows(st.sum_delta_fb),
         vel_fluid_old=p_rows(st.vel_fluid_old),
+        # rigid-clump per-particle fields move with their rows; the body
+        # SoA (st.rigid) is indexed by body id and stays put
+        mol=p_rows(st.mol), displace=p_rows(st.displace),
     )
 
 

@@ -63,6 +63,11 @@ def pair_forces(state: ParticleState, params: PairParams, dt: float,
 
     valid = state.active[:, None] & state.active[None, :]
     valid &= ~jnp.eye(n, dtype=bool)
+    if state.rigid is not None:
+        # exclude intra-body pairs (rigid clumps, dem/rigid.py): their
+        # granular forces are central and cancel in the body sums
+        valid &= ~((state.mol[:, None] == state.mol[None, :])
+                   & (state.mol[:, None] > 0))
     touch = valid & (rsq < radsum * radsum)
 
     rsq_safe = jnp.where(touch, rsq, 1.0)

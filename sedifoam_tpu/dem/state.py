@@ -59,6 +59,14 @@ class ParticleState(NamedTuple):
     # packing — the LAMMPS "dangerous builds" analogue
     # (neighbor.cpp ndanger). 0 when audit_ring is unset.
     nbr_dropped: jnp.ndarray    # scalar int32
+    # multisphere rigid clumps (fix rigid/small molecule; dem/rigid.py):
+    # mol = compacted 1-based body id (0 = free sphere); displace = the
+    # member's offset in its body's principal-axis frame; rigid = the
+    # body SoA, or None when the case has no clumps (the integrator
+    # branches statically on the pytree structure — no config flag)
+    mol: jnp.ndarray = None         # (N,) int32
+    displace: jnp.ndarray = None    # (N, 3)
+    rigid: object = None            # Optional[dem.rigid.RigidBodies]
 
     @property
     def n_capacity(self):
@@ -86,14 +94,18 @@ def _n_lattice_offsets(geom) -> int:
 def make_particles(pos, radius, density, vel=None, omega=None, ptype=None,
                    tag=None, capacity: Optional[int] = None, n_walls: int = 6,
                    neighbor_k: Optional[int] = None,
-                   lattice_geom=None, pencil_geom=None,
+                   lattice_geom=None, pencil_geom=None, mol=None,
                    dtype=jnp.float64) -> ParticleState:
     """Build a ParticleState from numpy/array inputs, padded to capacity.
 
     neighbor_k: (K, N) binned-backend table; lattice_geom: lattice
     backend (dem/lattice.LatticeGeom) — shear and the slot table take the
     lattice shapes instead; pencil_geom (dem/pencil.PencilGeom) forces
-    capacity = geom.capacity and the dense-per-config shear shape."""
+    capacity = geom.capacity and the dense-per-config shear shape.
+
+    mol: per-particle molecule ids (any positive labels; 0/None = free
+    sphere). Any id > 0 groups particles into rigid clumps (dem/rigid.py)
+    — supported on the dense and binned backends only."""
     pos = np.asarray(pos, dtype=np.float64).reshape(-1, 3)
     n = pos.shape[0]
     if pencil_geom is not None:
@@ -121,6 +133,19 @@ def make_particles(pos, radius, density, vel=None, omega=None, ptype=None,
 
     active = np.zeros(capacity, bool)
     active[:n] = True
+
+    rigid = None
+    mol_arr = np.zeros(n, np.int64) if mol is None else \
+        np.asarray(mol, np.int64).ravel()
+    displace = np.zeros((n, 3))
+    if (mol_arr > 0).any():
+        if lattice_geom is not None or pencil_geom is not None:
+            raise NotImplementedError(
+                "rigid clumps (mol ids) are supported on the dense and "
+                "binned backends only")
+        from sedifoam_tpu.dem.rigid import make_rigid_bodies
+        rigid, mol_arr, displace = make_rigid_bodies(
+            pos, mass, radius, mol_arr, vel=vel, omega=omega, dtype=dtype)
 
     return ParticleState(
         pos=pad2(pos),
@@ -160,4 +185,7 @@ def make_particles(pos, radius, density, vel=None, omega=None, ptype=None,
         time_to_add=jnp.asarray(1e30, dtype),
         rng_key=jnp.zeros(2, jnp.uint32),
         nbr_dropped=jnp.zeros((), jnp.int32),
+        mol=pad1(mol_arr, 0, jnp.int32),
+        displace=pad2(displace),
+        rigid=rigid,
     )

@@ -854,9 +854,26 @@ def load_case(case_dir: str, capacity: Optional[int] = None,
             dem_cfg = dataclasses.replace(dem_cfg, max_per_bin=m_needed)
             cfg = dataclasses.replace(cfg, dem=dem_cfg)
             lat_geom = _lat.make_geom(dem_cfg)
+    mol = lmp.mol if (lmp.rigid and lmp.mol is not None) else None
+    if mol is not None and backend == "binned":
+        # intra-body partners win the K-nearest selection but are
+        # scrubbed from the table (dem/rigid.scrub_same_mol) — budget
+        # extra slots for the worst member's in-ring sibling count so
+        # real neighbors are not displaced
+        ring = dem_cfg.audit_ring or dem_cfg.cutoff
+        k_intra = 0
+        for mid in np.unique(mol[mol > 0]):
+            x = lmp.pos[mol == mid]
+            dist = np.linalg.norm(x[:, None] - x[None], axis=-1)
+            k_intra = max(k_intra, int(
+                ((dist < ring) & (dist > 0)).sum(axis=1).max()))
+        if k_intra:
+            neighbor_k = min(neighbor_k + k_intra, 160)
+            dem_cfg = dataclasses.replace(dem_cfg, nbr_k=neighbor_k)
+            cfg = dataclasses.replace(cfg, dem=dem_cfg)
     particles = make_particles(
         pos=lmp.pos, radius=lmp.diameter / 2.0, density=lmp.density,
-        vel=vel, ptype=lmp.ptype, tag=lmp.tag,
+        vel=vel, ptype=lmp.ptype, tag=lmp.tag, mol=mol,
         capacity=capacity or n, n_walls=len(lmp.walls),
         lattice_geom=lat_geom,
         neighbor_k=neighbor_k if backend == "binned" else None, dtype=dtype)

@@ -87,6 +87,14 @@ class LammpsCase:
     density: Optional[np.ndarray] = None
     ptype: Optional[np.ndarray] = None
     tag: Optional[np.ndarray] = None
+    # multisphere rigid clumps (`fix ... rigid/small molecule`,
+    # cases/example-cases/irregular/in.lammps:36): per-atom molecule ids
+    # from the data file's Molecules section (read via
+    # `read_data ... fix molprop NULL Molecules`, in.lammps:13), plus the
+    # `molecule NAME FILE` templates (in.pairA-D)
+    rigid: bool = False
+    mol: Optional[np.ndarray] = None
+    molecule_templates: dict = dataclasses.field(default_factory=dict)
 
 
 def parse_input_script(path: str) -> LammpsCase:
@@ -137,6 +145,12 @@ def parse_input_script(path: str) -> LammpsCase:
                     subtract_excluded[toks[1]] = tuple(sorted(excluded))
             elif cmd == "read_data":
                 case.data_file = toks[1]
+            elif cmd == "molecule" and len(toks) >= 3:
+                # molecule NAME FILE (rigid-clump template, in.pairA-D)
+                tpath = os.path.join(os.path.dirname(path), toks[2])
+                if os.path.exists(tpath):
+                    case.molecule_templates[toks[1]] = \
+                        parse_molecule_template(tpath)
             elif cmd == "pair_style":
                 style = toks[1]
                 if style in _STYLE_MAP:
@@ -200,6 +214,11 @@ def parse_input_script(path: str) -> LammpsCase:
                         ah=float(toks[4]), lam=float(toks[5]),
                         smin=float(toks[6]), smax=float(toks[7]),
                         model=int(toks[8]) if len(toks) > 8 else 0)
+                elif fstyle in ("rigid", "rigid/small", "rigid/nve",
+                                "rigid/small/nve") and "molecule" in toks:
+                    # fix ID GROUP rigid/small molecule: atoms sharing a
+                    # molecule id move as one rigid clump (irregular case)
+                    case.rigid = True
                 elif fstyle in ("nve/sphere", "nve") \
                         and toks[2] in subtract_excluded:
                     # integration restricted to a subtract-from-all group:
@@ -268,3 +287,69 @@ def _read_data_file(path: str, case: LammpsCase) -> None:
     case.diameter = arr[:, 2]
     case.density = arr[:, 3]
     case.pos = arr[:, 4:7]
+
+    # Molecules section (read_data's `fix molprop NULL Molecules` target:
+    # per-atom molecule ids for rigid clumps): lines `atom-id mol-id`
+    mol_start = None
+    for i, line in enumerate(lines):
+        s = line.split("#")[0].strip()
+        if s == "Molecules" or s.startswith("Molecules "):
+            mol_start = i + 1
+            break
+    if mol_start is not None:
+        mol = np.zeros(n_atoms, np.int64)
+        seen = 0
+        for line in lines[mol_start:]:
+            s = line.split("#")[0].strip()
+            if not s:
+                if seen:
+                    break
+                continue
+            parts = s.split()
+            if not parts[0].lstrip("-").isdigit():
+                break
+            mol[int(parts[0]) - 1] = int(parts[1])
+            seen += 1
+            if seen == n_atoms:
+                break
+        # data-file atom rows may be in any tag order; align mol to rows
+        case.mol = mol[case.tag - 1]
+
+
+def parse_molecule_template(path: str) -> dict:
+    """LAMMPS `molecule` template file (irregular/in.pairA-D): sections
+    `N atoms`, Coords, Types, Diameters, Masses -> dict of arrays."""
+    with open(path) as f:
+        lines = [ln.split("#")[0].rstrip() for ln in f]
+    n = 0
+    for ln in lines:
+        m = re.match(r"^\s*(\d+)\s+atoms\s*$", ln)
+        if m:
+            n = int(m.group(1))
+            break
+    out = {"n_atoms": n}
+    sections = {"Coords": 3, "Types": 1, "Diameters": 1, "Masses": 1}
+    for name, width in sections.items():
+        try:
+            start = next(i for i, ln in enumerate(lines)
+                         if ln.strip() == name) + 1
+        except StopIteration:
+            continue
+        vals = np.zeros((n, width))
+        seen = 0
+        for ln in lines[start:]:
+            s = ln.strip()
+            if not s:
+                if seen:
+                    break
+                continue
+            parts = s.split()
+            vals[int(parts[0]) - 1] = [float(x) for x in parts[1:1 + width]]
+            seen += 1
+            if seen == n:
+                break
+        key = name.lower()
+        out[key] = vals[:, 0] if width == 1 else vals
+        if name == "Types":
+            out[key] = out[key].astype(np.int32)
+    return out
