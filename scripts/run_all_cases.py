@@ -84,12 +84,36 @@ def main():
         t0 = time.time()
         data = {"seeds": list(mu_seeds)}
         oks, profs = [], []
+        # the realizations run CONCURRENTLY: the grid is small enough that
+        # a single run is dispatch-latency-bound, so the chip timeshares
+        # them at far better than 1/n_seeds throughput (measured: a
+        # second tunnel client runs fine alongside a battery case)
+        procs = {}
         for s in mu_seeds:
             out = os.path.join(RESULTS, f"{case}_profiles_seed{s}.npz")
-            ok, d, secs = run_json(
+            procs[s] = (subprocess.Popen(
                 [PY, "scripts/validate_expMueller.py", "--case",
                  case, "--t-end", t_mu, "--t-avg-start", avg0,
-                 "--seed", str(s), "--out", out])
+                 "--seed", str(s), "--out", out],
+                cwd=REPO, stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE, text=True), out, time.time())
+        for s, (proc, out, ts) in procs.items():
+            try:
+                stdout, _ = proc.communicate(timeout=14400)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+                stdout = ""
+            ok = proc.returncode == 0
+            d = {}
+            for line in reversed(stdout.strip().splitlines()):
+                line = line.strip()
+                if line.startswith("{"):
+                    try:
+                        d = json.loads(line)
+                        break
+                    except json.JSONDecodeError:
+                        continue
+            secs = time.time() - ts
             oks.append(ok)
             prefix = f"seed{s}_" if s else ""
             for k, v in d.items():
