@@ -44,7 +44,6 @@ def build_case(n_particles=2048, nx=32, ny=64, nz=32, sub_steps=10,
                backend="dense", sort_on_rebuild=False):
     from sedifoam_tpu import bc
     from sedifoam_tpu.dem import lattice as _lat
-    from sedifoam_tpu.dem import pencil as _pen
     from sedifoam_tpu.config import (CloudConfig, DEMConfig, FluidConfig,
                                      PISOConfig, PairParams, WallSpec)
     from sedifoam_tpu.dem.state import make_particles
@@ -107,13 +106,6 @@ def build_case(n_particles=2048, nx=32, ny=64, nz=32, sub_steps=10,
                         # keeps it off (costs ~11%, no locality reward)
                         sort_on_rebuild=sort_on_rebuild)
     lat_geom = _lat.make_geom(dem_cfg) if backend == "lattice" else None
-    pen_geom = None
-    if backend == "pencil":
-        import dataclasses
-        pen_geom = _pen.make_pencil_geom(
-            dem_cfg.domain_lo, dem_cfg.domain_hi, ring=dem_cfg.cutoff,
-            n_particles=n_particles, d_max=2 * r)
-        dem_cfg = dataclasses.replace(dem_cfg, pencil=pen_geom)
     cfg = SimConfig(grid=grid, bcs=bcs, fluid=fluid_cfg, cloud=cloud_cfg,
                     dem=dem_cfg)
 
@@ -135,7 +127,7 @@ def build_case(n_particles=2048, nx=32, ny=64, nz=32, sub_steps=10,
                                capacity=n_particles, n_walls=len(walls),
                                neighbor_k=(dem_cfg.nbr_k
                                            if backend == "binned" else None),
-                               lattice_geom=lat_geom, pencil_geom=pen_geom,
+                               lattice_geom=lat_geom,
                                dtype=jnp.float32)
     fluid = init_fluid(grid, Ub=jnp.zeros((3,) + grid.shape, jnp.float32
                                           ).at[1].set(vin),

@@ -163,6 +163,14 @@ def main():
             [PY, "scripts/validate_jetflow.py"]
             + (["--quick"] if args.quick else
                ["--out", os.path.join(RESULTS, "jetflow_centerline.npz")])),
+        # example-case: the dune-pipe (arXiv:1510.07201 Case 1a) runs
+        # END-TO-END from its own shipped In_initial.in (the only
+        # example-case with a real particle IC); gates in the validator
+        # (frozen bed, Ubar lock, alpha bounds)
+        "BL24-TH1": lambda: run_json(
+            [PY, "scripts/validate_bl24.py"]
+            + (["--quick"] if args.quick else
+               ["--out", os.path.join(RESULTS, "bl24_bedprofile.npz")])),
     }
 
     def judge(name, data):
@@ -220,7 +228,7 @@ def main():
                 if aerrs:
                     ok &= max(aerrs) < 0.20
                 return bool(ok)
-            if name == "jetFlow":
+            if name in ("jetFlow", "BL24-TH1"):
                 return bool(data.get("passed"))
             if name == "expWachem_PCM":
                 # tightened round 3 (measured 8.7% in round 2)

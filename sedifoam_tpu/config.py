@@ -92,19 +92,15 @@ class DEMConfig:
     # ---- contact enumeration backend ----
     # 'dense': all-pairs with (N,N,3) history — exact, best below ~10k
     # 'binned': Verlet-skin neighbor tables — scales to large N
-    # 'pencil': gather-free static-shift enumeration on (pencil, y-rank)
-    #           slots with a fused Pallas kernel (dem/pencil.py).
-    #           EXPERIMENTAL: y-rank anchoring drifts on beds whose
-    #           pencils have unequal linear densities (the build-time
-    #           W-window audit catches it — measured 62k missed pairs on
-    #           the 131k jittered bench bed), and rebuild+carry is heavy.
-    #           The fused binned backend is the fast path at scale;
-    #           x/z-nonperiodic cases only
-    # 'lattice': experimental roll-based bins (dem/lattice.py)
+    # 'lattice': experimental roll-based bins (dem/lattice.py) —
+    #           gather-free, physically anchored. A 'pencil' (y-rank
+    #           slot) backend was tried and deleted in round 4: rank
+    #           anchoring is unsound on beds with unequal pencil linear
+    #           densities (its own W-window audit measured 62k missed
+    #           pairs on the 131k jittered bench bed), and its sound
+    #           fix degenerates into this lattice; see the STATUS.md
+    #           pencil postmortem for the measured cost model
     backend: str = "dense"
-    # pencil-backend geometry (dem/pencil.PencilGeom), required when
-    # backend == 'pencil'
-    pencil: Optional[object] = None
     # binned backend: run the post-gather Hertz chain as a fused Pallas
     # kernel (dem/fused.py). Engages on the TPU f32 path only; the XLA
     # path is the reference implementation and runs everywhere else.

@@ -31,8 +31,8 @@ def scrub_deactivated(state: ParticleState, cfg: DEMConfig) -> ParticleState:
 
     MUST be called (lax.cond-gated on an actual delete) by every path
     that flips `active` off between rebuilds: the partner gathers trust
-    the table (see neighbor.scrub_dead_partners). Dense and pencil
-    backends mask `active` per pair-eval and need no scrub.
+    the table (see neighbor.scrub_dead_partners). The dense backend
+    masks `active` per pair-eval and needs no scrub.
     """
     if cfg.backend not in ("binned", "lattice") or \
             state.nbr_idx.shape[0] == 0:
@@ -69,23 +69,6 @@ def maybe_rebuild_neighbors(state: ParticleState, cfg: DEMConfig,
         max_d2 = jnp.max(jnp.sum(disp * disp, axis=-1) * state.active)
         need = max_d2 > (0.5 * cfg.skin) ** 2
         return jax.lax.cond(need, do_rebuild_lat, lambda st: st, state)
-
-    if cfg.backend == "pencil":
-        from sedifoam_tpu.dem import pencil as _pen
-
-        geom = cfg.pencil
-
-        def do_rebuild_pen(st: ParticleState) -> ParticleState:
-            return _pen.rebuild_state(
-                geom, st, cfg.domain_lo[1], cfg.domain_hi[1],
-                k_compact=max(16, cfg.nbr_k))
-
-        if force:
-            return do_rebuild_pen(state)
-        disp = state.pos - state.pos_at_build
-        max_d2 = jnp.max(jnp.sum(disp * disp, axis=-1) * state.active)
-        need = max_d2 > (0.5 * cfg.skin) ** 2
-        return jax.lax.cond(need, do_rebuild_pen, lambda st: st, state)
 
     if cfg.backend != "binned":
         return state
@@ -153,21 +136,6 @@ def compute_forces(state: ParticleState, cfg: DEMConfig,
             f_pair, tq_pair, shear = pair_forces_binned(
                 state, cfg.pair, dt, state.nbr_idx, shearupdate,
                 periodic_len=plen)
-    elif cfg.backend == "pencil":
-        from sedifoam_tpu.dem import pencil as _pen
-        if cfg.cohesion is not None or cfg.lubrication is not None:
-            raise NotImplementedError(
-                "cohesion/lubrication are not wired for the pencil "
-                "backend; use backend='binned'")
-        geom = cfg.pencil
-        use_k = _pen.use_kernel()
-        fields = _pen.pack_fields(
-            geom, state, dtype=jnp.float32 if use_k else None)
-        fn = _pen.pair_forces_pencil if use_k \
-            else _pen.pair_forces_pencil_xla
-        f3, t3, shear = fn(geom, cfg.pair, dt, fields,
-                           state.shear.astype(fields.dtype), shearupdate)
-        f_pair, tq_pair = _pen.unpack_forces(geom, f3, t3, state.pos.dtype)
     elif cfg.backend == "lattice":
         from sedifoam_tpu.dem import lattice as _lat
         if cfg.cohesion is not None or cfg.lubrication is not None:

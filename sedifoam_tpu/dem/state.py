@@ -94,22 +94,19 @@ def _n_lattice_offsets(geom) -> int:
 def make_particles(pos, radius, density, vel=None, omega=None, ptype=None,
                    tag=None, capacity: Optional[int] = None, n_walls: int = 6,
                    neighbor_k: Optional[int] = None,
-                   lattice_geom=None, pencil_geom=None, mol=None,
+                   lattice_geom=None, mol=None,
                    dtype=jnp.float64) -> ParticleState:
     """Build a ParticleState from numpy/array inputs, padded to capacity.
 
     neighbor_k: (K, N) binned-backend table; lattice_geom: lattice
     backend (dem/lattice.LatticeGeom) — shear and the slot table take the
-    lattice shapes instead; pencil_geom (dem/pencil.PencilGeom) forces
-    capacity = geom.capacity and the dense-per-config shear shape.
+    lattice shapes instead.
 
     mol: per-particle molecule ids (any positive labels; 0/None = free
     sphere). Any id > 0 groups particles into rigid clumps (dem/rigid.py)
     — supported on the dense and binned backends only."""
     pos = np.asarray(pos, dtype=np.float64).reshape(-1, 3)
     n = pos.shape[0]
-    if pencil_geom is not None:
-        capacity = pencil_geom.capacity
     capacity = capacity or n
     assert capacity >= n
 
@@ -139,7 +136,7 @@ def make_particles(pos, radius, density, vel=None, omega=None, ptype=None,
         np.asarray(mol, np.int64).ravel()
     displace = np.zeros((n, 3))
     if (mol_arr > 0).any():
-        if lattice_geom is not None or pencil_geom is not None:
+        if lattice_geom is not None:
             raise NotImplementedError(
                 "rigid clumps (mol ids) are supported on the dense and "
                 "binned backends only")
@@ -160,9 +157,7 @@ def make_particles(pos, radius, density, vel=None, omega=None, ptype=None,
         force=jnp.zeros((capacity, 3), dtype),
         torque=jnp.zeros((capacity, 3), dtype),
         shear=(
-            jnp.zeros(pencil_geom.shear_shape, dtype)
-            if pencil_geom is not None
-            else jnp.zeros((3, _n_lattice_offsets(lattice_geom),
+            jnp.zeros((3, _n_lattice_offsets(lattice_geom),
                             lattice_geom.M, lattice_geom.M,
                             lattice_geom.S), dtype)
             if lattice_geom is not None

@@ -104,14 +104,6 @@ def compute(state: SimState, grid: Grid, cfg: FluidConfig, dem_cfg=None
         # surface any unslotted actives (must stay 0 in a healthy run)
         slotted = jnp.sum(ps.nbr_idx < ps.n_capacity)
         out["lattice_unslotted"] = jnp.sum(ps.active) - slotted
-    if dem_cfg is not None and dem_cfg.backend == "pencil":
-        from sedifoam_tpu.dem import pencil as _pen
-        geom = dem_cfg.pencil
-        unslotted, missed, tail = _pen.diagnostics(
-            geom, ps, geom.ring, dem_cfg.domain_lo[1], dem_cfg.domain_hi[1])
-        out["pencil_unslotted"] = unslotted
-        out["pencil_missed_pairs"] = missed
-        out["pencil_audit_tail"] = tail
     return out
 
 

@@ -7,8 +7,8 @@ import numpy as np
 def by_tag(state, *fields):
     """Return the given (N,...) fields of a ParticleState sorted by tag.
 
-    Only ACTIVE rows are returned, so states of different capacity (the
-    pencil backend pads to its slot-lattice capacity) compare directly.
+    Only ACTIVE rows are returned, so states of different capacity
+    compare directly.
     """
     tag = np.asarray(state.tag)
     act = np.asarray(state.active)

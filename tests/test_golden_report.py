@@ -21,7 +21,8 @@ REPORT = os.path.join(os.path.dirname(__file__), "..", "results",
                       "report.json")
 
 EXPECTED = {"xiaocase3", "multiParticlesCollide", "xiaocase1",
-            "expMueller06", "expMueller09", "expWachem_PCM", "jetFlow"}
+            "expMueller06", "expMueller09", "expWachem_PCM", "jetFlow",
+            "BL24-TH1"}
 
 
 @pytest.fixture(scope="module")
