@@ -61,6 +61,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", default="")
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--jobs", type=int, default=1,
+                    help="cases to run concurrently (the chip timeshares "
+                    "the latency-bound small-grid validators; physics "
+                    "gates are wall-clock independent)")
     ap.add_argument("--report", default=os.path.join(RESULTS, "report.json"))
     args = ap.parse_args()
     os.makedirs(RESULTS, exist_ok=True)
@@ -262,18 +266,35 @@ def main():
     # clobber the last complete report with a 2-case stub (which is how
     # a truncated report.json once got committed and broke its CI gate)
     live_path = args.report if only else args.report + ".partial"
-    for name, fn in cases.items():
-        if only and name not in only:
-            continue
+    # --only order is submission order (long cases first fills a
+    # --jobs pool best); default order otherwise
+    selected = [(n, cases[n]) for n in only if n in cases] if only \
+        else list(cases.items())
+
+    import threading
+    lock = threading.Lock()
+
+    def run_case(name, fn):
         print(f"=== {name} ...", flush=True)
         ok, data, secs = fn()
         passed = ok and judge(name, data)
-        report["cases"][name] = {"passed": bool(passed),
-                                 "wall_s": round(secs, 1), **data}
-        print(f"=== {name}: {'PASS' if passed else 'FAIL'} "
-              f"({secs:.0f}s) {json.dumps(data)[:300]}", flush=True)
-        with open(live_path, "w") as f:
-            json.dump(report, f, indent=1)
+        with lock:
+            report["cases"][name] = {"passed": bool(passed),
+                                     "wall_s": round(secs, 1), **data}
+            print(f"=== {name}: {'PASS' if passed else 'FAIL'} "
+                  f"({secs:.0f}s) {json.dumps(data)[:300]}", flush=True)
+            with open(live_path, "w") as f:
+                json.dump(report, f, indent=1)
+
+    if args.jobs <= 1:
+        for name, fn in selected:
+            run_case(name, fn)
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=args.jobs) as pool:
+            futs = [pool.submit(run_case, n, f) for n, f in selected]
+            for f in futs:
+                f.result()
 
     if live_path != args.report:
         os.replace(live_path, args.report)
