@@ -132,6 +132,29 @@ def plot_jetflow(results, plots, lines):
     lines.append("![jetFlow](plots/jetflow_decay.png)\n")
 
 
+def plot_bl24(results, plots, lines):
+    f = os.path.join(results, "bl24_bedprofile.npz")
+    if not os.path.exists(f):
+        return
+    d = np.load(f)
+    fig, (a1, a2) = plt.subplots(1, 2, figsize=(11, 4))
+    a1.plot(d["t"], d["ub"], "b-", lw=1, label="bulk Ub_x")
+    a1.axhline(0.167, color="k", ls="--", lw=1,
+               label="Ubar target 0.167 m/s")
+    a1.set_xlabel("t [s]")
+    a1.set_ylabel("beta-weighted bulk Ub_x [m/s]")
+    a1.set_title("BL24-TH1: Ubar channel-forcing lock")
+    a1.legend(fontsize=8)
+    a2.plot(d["x_bins"] * 1e3, d["bed_h"] * 1e3, "ro-")
+    a2.set_xlabel("x [mm]")
+    a2.set_ylabel("bed height (95th pct) [mm]")
+    a2.set_title("x-resolved bed profile (dune precursor)")
+    out = os.path.join(plots, "bl24_bed.png")
+    plt.savefig(out, dpi=110, bbox_inches="tight")
+    plt.close()
+    lines.append("![BL24-TH1](plots/bl24_bed.png)\n")
+
+
 def plot_bedload(results, plots, lines):
     f = os.path.join(results, "bedload_transport.npz")
     if not os.path.exists(f):
@@ -189,6 +212,7 @@ def main():
     plot_mueller("expMueller09", results, plots, lines)
     plot_wachem(results, plots, lines)
     plot_jetflow(results, plots, lines)
+    plot_bl24(results, plots, lines)
     plot_bedload(results, plots, lines)
 
     out = os.path.join(results, "report.md")
