@@ -80,6 +80,12 @@ class LammpsCase:
     periodic: Tuple[bool, bool, bool] = (False, False, False)
     # particle types frozen via `fix ID GROUP freeze` on `group GROUP type T`
     frozen_types: Tuple[int, ...] = ()
+    # when EVERY integration fix (nve*/rigid*) is restricted to an
+    # explicit type group, the union of those groups; data-file types
+    # outside it never move (LAMMPS: atoms with no integration fix keep
+    # x/v — irregular's type-1/2 floor). None = an integrator covers a
+    # non-type group ('all', subtract groups) -> no inference
+    integrated_types: Optional[Tuple[int, ...]] = None
     # data file contents
     box: Tuple[float, ...] = ()
     pos: Optional[np.ndarray] = None
@@ -102,6 +108,7 @@ def parse_input_script(path: str) -> LammpsCase:
     walls: List[WallSpec] = []
     group_types = {}  # group name -> tuple of particle types
     subtract_excluded = {}  # subtract-from-all group -> excluded types
+    integrator_groups = []  # group names carrying nve*/rigid* fixes
     with open(path) as f:
         for raw in f:
             line = raw.split("#")[0].strip()
@@ -227,7 +234,18 @@ def parse_input_script(path: str) -> LammpsCase:
                     case.frozen_types = tuple(sorted(
                         set(case.frozen_types)
                         | set(subtract_excluded[toks[2]])))
+                if fstyle.split("/")[0] in ("nve", "rigid"):
+                    integrator_groups.append(toks[2])
     case.walls = tuple(walls)
+    if integrator_groups and \
+            all(g in group_types for g in integrator_groups):
+        # every integrator is restricted to an explicit type group:
+        # data-file types outside their union never move (LAMMPS atoms
+        # with no integration fix keep x/v — irregular's type-1/2)
+        moving = set()
+        for g in integrator_groups:
+            moving |= set(group_types[g])
+        case.integrated_types = tuple(sorted(moving))
     if case.data_file:
         data_path = os.path.join(os.path.dirname(path), case.data_file)
         if not os.path.exists(data_path):
@@ -314,6 +332,13 @@ def _read_data_file(path: str, case: LammpsCase) -> None:
                 break
         # data-file atom rows may be in any tag order; align mol to rows
         case.mol = mol[case.tag - 1]
+
+    if case.integrated_types is not None:
+        # atoms of types outside every integrator's group never move
+        case.frozen_types = tuple(sorted(
+            set(case.frozen_types)
+            | (set(int(t) for t in np.unique(case.ptype))
+               - set(case.integrated_types))))
 
 
 def parse_molecule_template(path: str) -> dict:
