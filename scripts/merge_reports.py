@@ -19,10 +19,19 @@ def main():
         "report.json")
     with open(src_path) as f:
         src = json.load(f)
+    if not isinstance(src, dict) or not isinstance(src.get("cases"), dict):
+        raise SystemExit(f"{src_path} is not a battery report "
+                         "(expected a dict with a 'cases' dict)")
     dst = {"quick": src.get("quick", False), "cases": {}}
     if os.path.exists(dst_path):
         with open(dst_path) as f:
             dst = json.load(f)
+        if not isinstance(dst, dict):
+            raise SystemExit(f"{dst_path} is not a battery report dict; "
+                             "refusing to clobber it — fix or remove it")
+        dst.setdefault("cases", {})
+        if not isinstance(dst["cases"], dict):
+            raise SystemExit(f"{dst_path} has a malformed 'cases' entry")
     if bool(dst.get("quick")) != bool(src.get("quick")):
         raise SystemExit("refusing to merge quick and full reports")
     dst["cases"].update(src.get("cases", {}))

@@ -92,21 +92,32 @@ def main():
         # a single run is dispatch-latency-bound, so the chip timeshares
         # them at far better than 1/n_seeds throughput (measured: a
         # second tunnel client runs fine alongside a battery case)
+        # stdout/stderr go to temp files, not pipes: the seeds drain
+        # concurrently regardless of how much any one emits (a PIPE
+        # drained sequentially stalls a chatty seed on a full buffer),
+        # and one shared deadline covers the whole ensemble
+        import tempfile
         procs = {}
+        deadline = time.time() + 14400
         for s in mu_seeds:
             out = os.path.join(RESULTS, f"{case}_profiles_seed{s}.npz")
+            logf = tempfile.TemporaryFile(mode="w+", encoding="utf-8")
             procs[s] = (subprocess.Popen(
                 [PY, "scripts/validate_expMueller.py", "--case",
                  case, "--t-end", t_mu, "--t-avg-start", avg0,
                  "--seed", str(s), "--out", out],
-                cwd=REPO, stdout=subprocess.PIPE,
-                stderr=subprocess.PIPE, text=True), out, time.time())
-        for s, (proc, out, ts) in procs.items():
+                cwd=REPO, stdout=logf,
+                stderr=subprocess.STDOUT, text=True), out, logf,
+                time.time())
+        for s, (proc, out, logf, ts) in procs.items():
             try:
-                stdout, _ = proc.communicate(timeout=14400)
+                proc.wait(timeout=max(1.0, deadline - time.time()))
             except subprocess.TimeoutExpired:
                 proc.kill()
-                stdout = ""
+                proc.wait()  # reap the killed child
+            logf.seek(0)
+            stdout = logf.read()
+            logf.close()
             ok = proc.returncode == 0
             d = {}
             for line in reversed(stdout.strip().splitlines()):

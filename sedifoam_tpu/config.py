@@ -134,6 +134,15 @@ class DEMConfig:
     # decomposition and doubles as particle re-bucketing (parallel/mesh).
     sort_on_rebuild: bool = False
 
+    def __post_init__(self):
+        # a stale/typo'd backend must fail loudly, not fall through to
+        # the dense all-pairs path (an OOM surprise at 100k+ particles)
+        if self.backend not in ("dense", "binned", "lattice"):
+            raise ValueError(
+                f"DEMConfig.backend={self.backend!r}: supported backends "
+                "are 'dense', 'binned', 'lattice' (the 'pencil' backend "
+                "was deleted in round 4 — see STATUS.md postmortem)")
+
     def periodic_len(self) -> Tuple[Optional[float], ...]:
         """Domain length per axis for periodic axes, None elsewhere."""
         return tuple(

@@ -234,7 +234,11 @@ def parse_input_script(path: str) -> LammpsCase:
                     case.frozen_types = tuple(sorted(
                         set(case.frozen_types)
                         | set(subtract_excluded[toks[2]])))
-                if fstyle.split("/")[0] in ("nve", "rigid"):
+                if fstyle.split("/")[0] in ("nve", "rigid", "move",
+                                            "nvt", "npt", "langevin"):
+                    # any motion-integrating fix counts (ADVICE r4: a
+                    # `fix move` on remaining types must disqualify the
+                    # frozen-type inference below, not freeze them)
                     integrator_groups.append(toks[2])
     case.walls = tuple(walls)
     if integrator_groups and \

@@ -48,3 +48,10 @@ def test_case_passed(report, case):
     assert entry is not None, f"{case} missing from report"
     assert entry["passed"], {k: v for k, v in entry.items()
                              if k != "tail"}
+    # VERDICT r4 weak #1: a full report must not smuggle in per-case
+    # quick-mode entries (jetFlow once shipped quick inside a full
+    # report and CI could not tell). No allowlist: every case must
+    # carry full-length evidence.
+    assert not entry.get("quick"), \
+        f"{case} entry is quick-mode inside a full report; rerun " \
+        f"full-length (python scripts/run_all_cases.py --only {case})"
