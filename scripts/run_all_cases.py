@@ -186,6 +186,21 @@ def main():
             [PY, "scripts/validate_bl24.py"]
             + (["--quick"] if args.quick else
                ["--out", os.path.join(RESULTS, "bl24_bedprofile.npz")])),
+        # example-cases shipping no particle IC, run on synthetic beds
+        # with physics-regime gates (VERDICT r4 #3: regression gates,
+        # committed artifacts — not one-shot prose evidence)
+        "transport-suspended": lambda: run_json(
+            [PY, "scripts/validate_suspended.py"]
+            + (["--quick"] if args.quick else
+               ["--out", os.path.join(RESULTS, "suspended_transport.npz")])),
+        "transport-vortex-dune": lambda: run_json(
+            [PY, "scripts/validate_dune.py"]
+            + (["--quick"] if args.quick else
+               ["--out", os.path.join(RESULTS, "dune_migration.npz")])),
+        "irregular": lambda: run_json(
+            [PY, "scripts/validate_irregular.py"]
+            + (["--quick"] if args.quick else
+               ["--out", os.path.join(RESULTS, "irregular_rigidity.npz")])),
     }
 
     def judge(name, data):
@@ -243,7 +258,8 @@ def main():
                 if aerrs:
                     ok &= max(aerrs) < 0.20
                 return bool(ok)
-            if name in ("jetFlow", "BL24-TH1"):
+            if name in ("jetFlow", "BL24-TH1", "transport-suspended",
+                        "transport-vortex-dune", "irregular"):
                 return bool(data.get("passed"))
             if name == "expWachem_PCM":
                 # tightened round 3 (measured 8.7% in round 2)

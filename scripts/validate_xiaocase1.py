@@ -24,6 +24,13 @@ def main():
     ap.add_argument("--case", default="/root/reference/cases/auto-testing/"
                     "test-cases/xiaocase1")
     ap.add_argument("--out", default="")
+    ap.add_argument("--ckpt-split", type=float, default=0.0, metavar="T",
+                    help="checkpoint at t=T, tear the session down, and "
+                    "resume from the checkpoint into a FRESH Simulation "
+                    "(as a restarted process would) before continuing to "
+                    "t_end — the end-to-end `startFrom latestTime` path; "
+                    "all physics gates must pass exactly as in a "
+                    "straight run")
     args = ap.parse_args()
 
     import jax
@@ -45,6 +52,26 @@ def main():
     probes = [(0.02, 0.002, 0.003), (0.02, 0.16, 0.003)]
     sim = Simulation(cfg, state, probe_locations=probes,
                      steps_per_host_visit=20, )
+    resumed_at = None
+    if 0.0 < args.ckpt_split < args.t_end:
+        sim.run(args.ckpt_split, probe_every=5)
+        import tempfile
+        ckpt = os.path.join(tempfile.mkdtemp(prefix="xc1_ckpt_"),
+                            "checkpoint.npz")
+        sim.save_checkpoint(ckpt)
+        resumed_at = sim.t
+        wall_before = sim.wall_time
+        del sim, state
+        # fresh session, as a restarted process: re-load, re-init,
+        # restore everything (incl. contact history + probe series)
+        cfg, fluid, particles, controls = load_case(
+            args.case, backend="binned", dtype=dtype)
+        state = initialize(fluid, particles, cfg)
+        sim = Simulation(cfg, state, probe_locations=probes,
+                         steps_per_host_visit=20)
+        sim.resume(ckpt)
+        sim.wall_time = wall_before
+        assert abs(sim.t - resumed_at) < 1e-9
     sim.run(args.t_end, probe_every=5)
 
     times, p = sim.probes.series("p")
@@ -57,6 +84,8 @@ def main():
     # chaotic -> compare the mean level (the bed-weight support)
     result = {"t_end": args.t_end, "n_samples": int(len(times)),
               "wall_time_s": round(sim.wall_time, 2)}
+    if resumed_at is not None:
+        result["resumed_at"] = round(resumed_at, 6)
     ramp = (times >= bench[0, 0]) & (times < min(8.0, args.t_end))
     if ramp.any():
         b = np.interp(times[ramp], bench[:, 0], bench[:, 1])

@@ -47,3 +47,18 @@ class Probes:
         """(times (T,), values (T, [3,] n_probes))."""
         return (np.asarray(self.times),
                 np.stack(self.samples[name], axis=0))
+
+    def save(self, path: str) -> None:
+        """Persist the accumulated series (for checkpoint/resume: the
+        reference's probe function object appends to its file across
+        restarts; here the series rides the checkpoint sidecar)."""
+        arrays = {f"s_{k}": np.stack(v, axis=0)
+                  for k, v in self.samples.items()}
+        np.savez_compressed(path, times=np.asarray(self.times, np.float64),
+                            **arrays)
+
+    def load(self, path: str) -> None:
+        with np.load(path) as d:
+            self.times = [float(t) for t in d["times"]]
+            self.samples = {k[2:]: [np.asarray(a) for a in d[k]]
+                            for k in d.files if k.startswith("s_")}

@@ -123,8 +123,25 @@ class Simulation:
                     f.write(json.dumps(d) + "\n")
         return tdir
 
+    def save_checkpoint(self, path: str) -> str:
+        """Atomic full-state checkpoint + probe-series sidecar.
+
+        `startFrom latestTime` semantics (xiaocase1/system/controlDict;
+        cloud IO softParticleIO.C:110-170) — but strictly better: the
+        DEM contact history rides the state pytree, and the probe
+        series (which OpenFOAM appends to a file across restarts)
+        rides a sidecar so a resumed validator sees one continuous
+        series."""
+        _ckpt.save(path, self.state)
+        if self.probes is not None:
+            self.probes.save(path + ".probes.npz")
+        return path
+
     def resume(self, checkpoint_path: str) -> None:
         self.state = _ckpt.load(checkpoint_path, self.state)
+        sidecar = checkpoint_path + ".probes.npz"
+        if self.probes is not None and os.path.exists(sidecar):
+            self.probes.load(sidecar)
 
     def timing_split(self, n: int = 5) -> dict:
         """Per-phase wall-time split (the writeCPUTime.H instrumentation:

@@ -22,7 +22,8 @@ REPORT = os.path.join(os.path.dirname(__file__), "..", "results",
 
 EXPECTED = {"xiaocase3", "multiParticlesCollide", "xiaocase1",
             "expMueller06", "expMueller09", "expWachem_PCM", "jetFlow",
-            "BL24-TH1"}
+            "BL24-TH1", "transport-suspended", "transport-vortex-dune",
+            "irregular"}
 
 
 @pytest.fixture(scope="module")

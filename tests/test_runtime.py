@@ -63,6 +63,33 @@ def test_checkpoint_resume_bitwise(tmp_path):
     np.testing.assert_array_equal(final_a, final_b)
 
 
+def test_case_level_resume_probes_bitwise(tmp_path):
+    """The CASE-level resume path (VERDICT r4 #6): Simulation.
+    save_checkpoint carries the probe series in a sidecar, and a FRESH
+    Simulation (new load_case + initialize, as a restarted process)
+    resumed from it reproduces the straight run's probe series and
+    final state bitwise."""
+    sim, controls = _sim()
+    sim.run(10 * controls.dt, probe_every=2)
+    t_a, p_a = sim.probes.series("p")
+    final_a = np.asarray(sim.state.particles.vel)
+
+    sim2, _ = _sim()
+    sim2.run(4 * controls.dt, probe_every=2)
+    ckpt = str(tmp_path / "case_ck.npz")
+    sim2.save_checkpoint(ckpt)
+    del sim2
+    sim3, _ = _sim()                      # fresh session from the case dir
+    sim3.resume(ckpt)
+    assert len(sim3.probes.times) == 2    # series restored from sidecar
+    sim3.run(10 * controls.dt, probe_every=2)
+    t_b, p_b = sim3.probes.series("p")
+    np.testing.assert_array_equal(t_a, t_b)
+    np.testing.assert_array_equal(p_a, p_b)
+    np.testing.assert_array_equal(final_a,
+                                  np.asarray(sim3.state.particles.vel))
+
+
 def test_timing_split():
     sim, controls = _sim()
     sim.run(2 * controls.dt)
