@@ -178,6 +178,74 @@ def plot_bedload(results, plots, lines):
     lines.append("![bedload](plots/bedload_qstar.png)\n")
 
 
+def plot_suspended(results, plots, lines):
+    f = os.path.join(results, "suspended_transport.npz")
+    if not os.path.exists(f):
+        return
+    d = np.load(f)
+    fig, (a1, a2) = plt.subplots(1, 2, figsize=(11, 4))
+    a1.plot(d["t"], d["ycom"] * 1e3, "b-", lw=1)
+    a1.set_xlabel("t [s]")
+    a1.set_ylabel("mobile-particle CoM height [mm]")
+    a1.set_title(f"transport-suspended: suspension rise "
+                 f"(Rouse P = {float(d['rouse']):.2f})")
+    a2.plot(d["t"], d["frac_hi"], "r-", lw=1,
+            label="mass fraction above 25% depth")
+    a2.plot(d["t"], d["q"] / max(float(np.abs(d["q"]).max()), 1e-12),
+            "g-", lw=0.8, alpha=0.6, label="q (normalized)")
+    a2.set_xlabel("t [s]")
+    a2.legend(fontsize=8)
+    a2.set_title("suspension regime indicators")
+    out = os.path.join(plots, "suspended_transport.png")
+    plt.savefig(out, dpi=110, bbox_inches="tight")
+    plt.close()
+    lines.append("![suspended](plots/suspended_transport.png)\n")
+
+
+def plot_dune(results, plots, lines):
+    f = os.path.join(results, "dune_migration.npz")
+    if not os.path.exists(f):
+        return
+    d = np.load(f)
+    fig, (a1, a2) = plt.subplots(1, 2, figsize=(11, 4))
+    a1.plot(d["t"], d["xcom"] * 1e3, "b-", lw=1)
+    a1.set_xlabel("t [s]")
+    a1.set_ylabel("crest-layer CoM x [mm]")
+    a1.set_title(f"transport-vortex-dune: crest migration "
+                 f"({float(d['migration'])*1e3:.2f} mm)")
+    a2.plot(d["t"], d["q"], "g-", lw=0.8)
+    a2.set_xlabel("t [s]")
+    a2.set_ylabel("streamwise transport q")
+    a2.set_title(f"bed-load rate (q* = {float(d['q_star']):.3f})")
+    out = os.path.join(plots, "dune_migration.png")
+    plt.savefig(out, dpi=110, bbox_inches="tight")
+    plt.close()
+    lines.append("![dune](plots/dune_migration.png)\n")
+
+
+def plot_irregular(results, plots, lines):
+    f = os.path.join(results, "irregular_rigidity.npz")
+    if not os.path.exists(f):
+        return
+    d = np.load(f)
+    fig, (a1, a2) = plt.subplots(1, 2, figsize=(11, 4))
+    a1.hist(np.abs(d["gaps1"] - d["gaps0"]) * 1e9, bins=30,
+            color="steelblue")
+    a1.set_xlabel("member-gap drift over the run [nm]")
+    a1.set_ylabel("count")
+    a1.set_title("irregular: rigid-clump member-distance preservation")
+    a2.plot(d["vx"], "b-", lw=1, label="clump vx")
+    a2.plot(d["vy"], "r-", lw=1, label="clump vy")
+    a2.set_xlabel("sample")
+    a2.set_ylabel("mean mobile-clump velocity [m/s]")
+    a2.set_title("clump transport under the current")
+    a2.legend(fontsize=8)
+    out = os.path.join(plots, "irregular_rigidity.png")
+    plt.savefig(out, dpi=110, bbox_inches="tight")
+    plt.close()
+    lines.append("![irregular](plots/irregular_rigidity.png)\n")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--results", default=os.path.join(
@@ -214,6 +282,9 @@ def main():
     plot_jetflow(results, plots, lines)
     plot_bl24(results, plots, lines)
     plot_bedload(results, plots, lines)
+    plot_suspended(results, plots, lines)
+    plot_dune(results, plots, lines)
+    plot_irregular(results, plots, lines)
 
     out = os.path.join(results, "report.md")
     with open(out, "w") as fh:

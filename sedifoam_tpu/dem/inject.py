@@ -78,7 +78,7 @@ def add_particles(state: ParticleState, sites: jnp.ndarray,
 
     perturb = ccfg.random_perturb * (
         0.5 - jax.random.uniform(rng_key, (n_add, 3), state.pos.dtype))
-    new_pos = sites + perturb
+    new_pos = jnp.asarray(sites, state.pos.dtype) + perturb
     new_vel = jnp.broadcast_to(
         jnp.asarray(ccfg.add_velocity, state.vel.dtype), (n_add, 3))
 

@@ -26,7 +26,8 @@ from sedifoam_tpu.solver import SimConfig, SimState, initialize, make_step_fn
 class Simulation:
     def __init__(self, cfg: SimConfig, state: SimState,
                  probe_locations: Optional[Sequence] = None,
-                 steps_per_host_visit: int = 1):
+                 steps_per_host_visit: int = 1,
+                 active_window: Optional[bool] = None):
         self.cfg = cfg
         self.state = state
         # NOTE: chained single-step jit calls outperform a scan-of-N-steps
@@ -34,6 +35,24 @@ class Simulation:
         # host visits in the Python loop instead.
         self.step_fn = make_step_fn(cfg, n_sub=1)
         self.steps_per_visit = steps_per_host_visit
+        # Active-window stepping (runtime/window.py): injection cases
+        # start near-empty but pay full-capacity DEM tables from step 0
+        # (the round-4 jetFlow stall). Auto-on for binned injection
+        # cases without rigid clumps; every per-substep cost then
+        # scales with the live population, with a handful of retraces
+        # as the window regrows. jax.jit retraces per window shape, so
+        # the same step_fn serves every window.
+        if active_window is None:
+            active_window = (cfg.cloud.add_particle > 0
+                             and cfg.dem.backend == "binned"
+                             and state.particles.rigid is None)
+        self.full_capacity = state.particles.n_capacity
+        self.windowed = bool(active_window
+                             and cfg.dem.backend == "binned"
+                             and state.particles.rigid is None
+                             and state.particles.nbr_idx.shape[0] > 0)
+        if self.windowed:
+            self._apply_window(first=True)
         self.probes = (Probes(cfg.grid, probe_locations)
                        if probe_locations else None)
         self.diag_fn = jax.jit(
@@ -55,6 +74,23 @@ class Simulation:
     def t(self) -> float:
         return float(self.state.fluid.time)
 
+    def _apply_window(self, first: bool = False) -> None:
+        """Grow (or on first call, shrink) the particle window so the
+        live population keeps >= 50% headroom — injection between host
+        visits must never saturate the table (window.py soundness)."""
+        from sedifoam_tpu.runtime import window as _win
+        ps = self.state.particles
+        n_hi = int(_win.high_water(ps))
+        w = _win.next_window(n_hi, 0 if first else ps.n_capacity,
+                             self.full_capacity)
+        if first and w < ps.n_capacity:
+            ps = _win.window_slice(ps, w)
+        elif w > ps.n_capacity:
+            ps = _win.window_grow(ps, w)
+        else:
+            return
+        self.state = self.state._replace(particles=ps)
+
     def run(self, t_end: float,
             probe_every: int = 1,
             log_every: int = 0,
@@ -69,6 +105,8 @@ class Simulation:
             for _ in range(self.steps_per_visit):
                 self.state = self.step_fn(self.state)
             visit += 1
+            if self.windowed:
+                self._apply_window()
             if self.probes is not None and visit % probe_every == 0:
                 fs = self.state.fluid
                 self.probes.sample(self.t, p=fs.p, Ub=fs.Ub,
@@ -107,7 +145,8 @@ class Simulation:
             pos=np.asarray(ps.pos), vel=np.asarray(ps.vel),
             omega=np.asarray(ps.omega), radius=np.asarray(ps.radius),
             tag=np.asarray(ps.tag), active=np.asarray(ps.active))
-        _ckpt.save(os.path.join(tdir, "checkpoint.npz"), self.state)
+        _ckpt.save(os.path.join(tdir, "checkpoint.npz"),
+                   self._full_capacity_state())
         if getattr(self, "foam_output", False):
             # OpenFOAM-ASCII export (C12): readable by the reference's
             # own post-processing tools
@@ -123,6 +162,16 @@ class Simulation:
                     f.write(json.dumps(d) + "\n")
         return tdir
 
+    def _full_capacity_state(self) -> SimState:
+        """The state at full capacity (checkpoints are always written
+        window-independent so any session can resume them)."""
+        ps = self.state.particles
+        if ps.n_capacity >= self.full_capacity:
+            return self.state
+        from sedifoam_tpu.runtime import window as _win
+        return self.state._replace(
+            particles=_win.window_grow(ps, self.full_capacity))
+
     def save_checkpoint(self, path: str) -> str:
         """Atomic full-state checkpoint + probe-series sidecar.
 
@@ -132,13 +181,16 @@ class Simulation:
         series (which OpenFOAM appends to a file across restarts)
         rides a sidecar so a resumed validator sees one continuous
         series."""
-        _ckpt.save(path, self.state)
+        _ckpt.save(path, self._full_capacity_state())
         if self.probes is not None:
             self.probes.save(path + ".probes.npz")
         return path
 
     def resume(self, checkpoint_path: str) -> None:
-        self.state = _ckpt.load(checkpoint_path, self.state)
+        full = self._full_capacity_state()
+        self.state = _ckpt.load(checkpoint_path, full)
+        if self.windowed:
+            self._apply_window(first=True)
         sidecar = checkpoint_path + ".probes.npz"
         if self.probes is not None and os.path.exists(sidecar):
             self.probes.load(sidecar)
