@@ -163,9 +163,14 @@ def main():
         "multiParticlesCollide": lambda: run_pytest(
             "tests/test_golden_collide.py"),
         # long physics runs (TPU f32, binned DEM)
+        # full runs exercise the END-TO-END checkpoint/resume path
+        # (VERDICT r4 #6): checkpoint at t=15 s, tear down, resume into
+        # a fresh session, continue to 30 s — the plateau gates must
+        # pass exactly as in a straight run
         "xiaocase1": lambda: run_json(
             [PY, "scripts/validate_xiaocase1.py", "--t-end", t_x1,
-             "--out", os.path.join(RESULTS, "xiaocase1_dp_curve.npz")]),
+             "--out", os.path.join(RESULTS, "xiaocase1_dp_curve.npz")]
+            + ([] if args.quick else ["--ckpt-split", "15"])),
         "expMueller06": lambda: run_mueller_multiseed("expMueller06"),
         "expMueller09": lambda: run_mueller_multiseed("expMueller09"),
         "expWachem_PCM": lambda: run_json(

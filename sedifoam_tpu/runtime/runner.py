@@ -89,6 +89,9 @@ class Simulation:
             ps = _win.window_grow(ps, w)
         else:
             return
+        print(f"[window] t={float(self.state.fluid.time):.4g}s "
+              f"active<={n_hi} table {ps.n_capacity} "
+              f"(capacity {self.full_capacity})", flush=True)
         self.state = self.state._replace(particles=ps)
 
     def run(self, t_end: float,
