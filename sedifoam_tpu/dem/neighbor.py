@@ -127,35 +127,39 @@ def make_binner(lo: Tuple[float, float, float], hi: Tuple[float, float, float],
         me_slot = jnp.argsort(order)                  # particle -> sorted pos
         valid &= slots != me_slot[None, :]
         valid &= active[None, :]
-        # ONE (27M, Nc, 3) partner row gather fused into the d2
-        # reduction: per-component scalar gathers cost ~33 ns/elem,
-        # ~16x a row gather (measured 212 vs 13 ms at N=8k, where
-        # injection cases rebuild every add). Above 32768 columns XLA
-        # stops fusing the gather into the reduction and materializes
-        # it lane-padded (3 -> 128): 18 GB at 131k. Chunking the COLUMN
-        # axis at 16384 keeps every chunk on the fused fast path — the
-        # round-4 jetFlow stall was this very fallback: 583 ms per
-        # rebuild at capacity 65536 (scalar gathers) vs 88 ms at 32768,
-        # firing every ~43 substeps at jet speed (scripts/
-        # bench_dem_shapes.py measurements, round 5)
-        CHUNK = 16384
-        pos_sorted = pos[order]                       # (N, 3)
-
-        def d2_of(slots_c, pos_c):
-            diff = pos_c[None, :, :] - pos_sorted[slots_c]  # (27M, Nc, 3)
+        if n <= 32768:
+            # ONE (27M, N, 3) partner row gather fused into the d2
+            # reduction: per-component scalar gathers cost ~33 ns/elem,
+            # ~16x a row gather (measured 212 vs 13 ms at N=8k, where
+            # injection cases rebuild every add)
+            pos_sorted = pos[order]                   # (N, 3)
+            diff = pos[None, :, :] - pos_sorted[slots]    # (27M, N, 3)
             for c in range(3):
                 if plen[c] is not None:
                     dc = diff[..., c]
                     diff = diff.at[..., c].set(
                         dc - plen[c] * jnp.round(dc / plen[c]))
-            return jnp.sum(diff * diff, axis=-1)
-
-        if n <= CHUNK * 2:
-            d2 = d2_of(slots, pos)
+            d2 = jnp.sum(diff * diff, axis=-1)
         else:
-            d2 = jnp.concatenate(
-                [d2_of(slots[:, c0:c0 + CHUNK], pos[c0:c0 + CHUNK])
-                 for c0 in range(0, n, CHUNK)], axis=1)
+            # at large N, XLA can materialize the (27M, N, 3) gather in
+            # its lane-padded (3 -> 128) layout — 18 GB at 131k — so fall
+            # back to per-component scalar gathers; big beds rebuild on
+            # the Verlet-skin cadence, not every step, so the slower
+            # rebuild amortizes. A round-5 attempt to CHUNK the packed
+            # gather at 16384 columns (to keep every capacity on the
+            # fused path; the round-4 jetFlow stall paid 583 ms/rebuild
+            # here vs 88 ms at 32768) WEDGED the axon chip for ~1 h on
+            # each execution at capacity 65536 — reverted; injection
+            # cases avoid this path via active-window stepping
+            # (runtime/window.py), which keeps the table at the live
+            # population (<= 32768 for every shipped case)
+            d2 = jnp.zeros_like(slots, pos.dtype)
+            for c in range(3):
+                pc_sorted = pos[:, c][order]
+                diff = pos[:, c][None, :] - pc_sorted[slots]
+                if plen[c] is not None:
+                    diff = diff - plen[c] * jnp.round(diff / plen[c])
+                d2 = d2 + diff * diff
         d2 = jnp.where(valid, d2, jnp.inf)
 
         # K nearest via ascending argsort on the candidate axis (top_k
