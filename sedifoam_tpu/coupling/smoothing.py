@@ -39,13 +39,13 @@ def smooth(field, grid: Grid, bandwidth: float, steps: int,
         from sedifoam_tpu import fastsolve
         solver = fastsolve.smoothing_solver(
             grid, tuple(float(d) for d in direction), field.dtype)
-        # volume-normalized implicit Euler: (1/dt I - V^-1 L) x = f/dt
+        # volume-normalized implicit Euler: (1/dt I - V^-1 L) x = f/dt,
+        # all `steps` applications collapsed into one transform pair in
+        # the shared eigenbasis (FastDiag.solve_pow) — same math, 1/steps
+        # the matmul work per smooth
         dt_f = (bandwidth ** 2 / 4.0) / steps
         c0 = 1.0 / dt_f
-        f = field
-        for _ in range(int(steps)):
-            f = solver.solve(c0 * f, c0)
-        return f
+        return solver.solve_pow(field, c0, int(steps))
 
     diffusion_time = bandwidth ** 2 / 4.0
     dt = diffusion_time / steps

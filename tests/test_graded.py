@@ -194,3 +194,21 @@ def test_poiseuille_on_graded_mesh():
     u = np.asarray(fs.Ub[0][1, :, 0])
     err = np.abs(u - u_exact).max() / u_exact.max()
     assert err < 0.02, (err, u, u_exact)
+
+
+def test_smoothing_pow_collapse_equals_sequential():
+    """FastDiag.solve_pow (the k implicit-Euler steps collapsed into one
+    transform pair) must agree with k sequential solves to roundoff —
+    it is the same diagonal operator applied in the same eigenbasis."""
+    from sedifoam_tpu import fastsolve
+    grid = _graded_grid()
+    rng = np.random.RandomState(7)
+    f = jnp.asarray(rng.rand(*grid.shape))
+    solver = fastsolve.smoothing_solver(grid, (1.0, 0.5, 2.0), f.dtype)
+    k, c0 = 6, 1.0 / ((0.02 ** 2 / 4.0) / 6)
+    seq = f
+    for _ in range(k):
+        seq = solver.solve(c0 * seq, c0)
+    pw = solver.solve_pow(f, c0, k)
+    np.testing.assert_allclose(np.asarray(pw), np.asarray(seq),
+                               rtol=1e-11, atol=1e-13)
