@@ -72,7 +72,28 @@ def main():
     probes = [(0.0, s * D, 0.0) for s in stations]
     sim = Simulation(cfg, state, probe_locations=probes,
                      steps_per_host_visit=25)
-    sim.run(t_end, probe_every=2)
+
+    # progress heartbeat: the full stage is the longest single device
+    # program in the battery, and its round-4/5 stalls were only
+    # diagnosable after the fact — print pace + population + window so a
+    # captured log shows exactly where time went
+    import time as _time
+    hb = {"v": 0, "t0": _time.perf_counter(), "tl": _time.perf_counter()}
+
+    def on_sample(s):
+        hb["v"] += 1
+        if hb["v"] % 20 == 0:
+            now = _time.perf_counter()
+            n_act = int(np.asarray(s.state.particles.active).sum())
+            print(f"[progress] t={s.t:.4f}/{t_end} "
+                  f"visit={hb['v']} ({25 * hb['v']} steps) "
+                  f"wall={now - hb['t0']:.0f}s "
+                  f"({(now - hb['tl']) / 20 / 25 * 1e3:.0f} ms/step) "
+                  f"active={n_act} "
+                  f"window={s.state.particles.n_capacity}", flush=True)
+            hb["tl"] = now
+
+    sim.run(t_end, probe_every=2, on_sample=on_sample)
 
     times, Ub = sim.probes.series("Ub")        # (n_t, 3, n_probe)
     uc = Ub[:, 1, :]                           # axial (y) component
