@@ -118,7 +118,8 @@ def evolve(fluid: FluidState, particles: ParticleState,
 
         p_drag, p_dudt, particles = _forces.particle_forces(
             particles, uf_smoothed, uf_smoothed_old, grad_p, curl_u,
-            fluid.DDtUb, grid, ccfg, fcfg, alpha, fluid.step)
+            fluid.DDtUb, grid, ccfg, fcfg, alpha, fluid.step,
+            need_dudt=(ccfg.particle_added_mass or dcfg.carrier_rho != 0.0))
 
         vel_before = particles.vel
         particles = particles._replace(fdrag=p_drag, dudt=p_dudt)
@@ -171,13 +172,19 @@ def lift_drag_coeffs(fluid: FluidState, particles: ParticleState,
         drag_coef = jnp.zeros_like(alpha)
 
     # liftCoeff = Cl*beta*rhob*(Ur ^ curl U)  (liftDragCoeffs.H:23)
-    beta = 1.0 - alpha
-    Ur = fluid.Ua - fluid.Ub
-    U_mix = alpha[None] * fluid.Ua + beta[None] * fluid.Ub
-    curl_U = ops.curl(U_mix, grid, _bc.uniform_bc(_bc.ZERO_GRADIENT,
-                                                  (0.0, 0.0, 0.0)))
-    lift = fcfg.Cl * (beta * fcfg.rhob)[None] * jnp.cross(
-        Ur, curl_U, axisa=0, axisb=0, axisc=0)
+    if fcfg.Cl != 0.0:
+        beta = 1.0 - alpha
+        Ur = fluid.Ua - fluid.Ub
+        U_mix = alpha[None] * fluid.Ua + beta[None] * fluid.Ub
+        curl_U = ops.curl(U_mix, grid, _bc.uniform_bc(_bc.ZERO_GRADIENT,
+                                                      (0.0, 0.0, 0.0)))
+        lift = fcfg.Cl * (beta * fcfg.rhob)[None] * jnp.cross(
+            Ur, curl_U, axisa=0, axisb=0, axisc=0)
+    else:
+        # Cl == 0 makes the whole term exact zeros — skip the mixture
+        # curl (one full stencil pass per step, ~0.5 ms at the bench
+        # grid; XLA cannot fold 0*x under IEEE semantics)
+        lift = jnp.zeros_like(fluid.lift_coeff)
 
     return fluid._replace(alpha=alpha, Asrc=asrc, drag_coef=drag_coef,
                           lift_coeff=lift)

@@ -44,17 +44,28 @@ def particle_forces(
     fcfg: FluidConfig,
     alpha_field,
     step_index,
+    need_dudt: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, ParticleState]:
-    """Returns (p_drag (N,3), p_dudt (N,3), state with history updated)."""
+    """Returns (p_drag (N,3), p_dudt (N,3), state with history updated).
+
+    need_dudt=False skips gathering DDtUb: the result feeds only the
+    added-mass term here and fix fdrag's carrier_rho correction
+    (dem/integrate.py), so callers whose config turns both off pass
+    False and p_dudt is exact zeros (the downstream terms are
+    Python-gated off on the same switches — numerics identical)."""
     cells = particle_cells(state, grid)
     vol = state.volume
     d = jnp.maximum(2.0 * state.radius, 1e-300)
     dt = fcfg.dt
     rhob, nub = fcfg.rhob, fcfg.nub
 
+    need_dudt = need_dudt or ccfg.particle_added_mass
+
     # every grid field this force sum needs, in ONE packed row gather
     # (per-field gathers measured ~2x slower at 131k on the chip)
-    fields = [uf_smoothed, alpha_field, ddt_uf]
+    fields = [uf_smoothed, alpha_field]
+    if need_dudt:
+        fields.append(ddt_uf)
     if ccfg.particle_pressure_grad:
         fields.append(grad_p)
     if ccfg.particle_lift:
@@ -62,8 +73,9 @@ def particle_forces(
     if ccfg.particle_history_force:
         fields.append(uf_smoothed_old)
     gathered = gather_fields(cells, *fields)
-    uf_p, p_alpha, dudt_p = gathered[:3]
-    rest = list(gathered[3:])
+    uf_p, p_alpha = gathered[:2]
+    rest = list(gathered[2:])
+    dudt_p = rest.pop(0) if need_dudt else jnp.zeros_like(state.vel)
     gp = rest.pop(0) if ccfg.particle_pressure_grad else None
     cu = rest.pop(0) if ccfg.particle_lift else None
     uf_old_p = rest.pop(0) if ccfg.particle_history_force else None

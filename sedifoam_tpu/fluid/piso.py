@@ -185,8 +185,11 @@ def assemble_ub_eqn(fs: FluidState, grid: Grid, bcs: FluidBCs,
         # the reference but kept — liftDragCoeffs.H:18)
         tm = tm + beta * linop.Sp(fs.drag_coef / cfg.rhob, grid)
         # RHS explicit: beta*alpha/rhob*(lift + Cvm*rhob*DDtUa) + channel gradP
-        rhs_exp = (beta * alpha / cfg.rhob)[None] * (
+        # (Cvm term Python-gated: with Cvm == 0 it is exact zeros, and
+        # DDtUa may legitimately be stale — see solver.need_ddtu)
+        rhs_inner = fs.lift_coeff if not use_cvm else (
             fs.lift_coeff + cfg.Cvm * cfg.rhob * fs.DDtUa)
+        rhs_exp = (beta * alpha / cfg.rhob)[None] * rhs_inner
         tm = tm + linop.source(
             rhs_exp[j] + avg_beta * g_dir[j] * fs.grad_p_value, grid)
         if cfg.add_ibm_force:

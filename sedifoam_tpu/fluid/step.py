@@ -25,7 +25,13 @@ def advance_time(fs: FluidState, cfg: FluidConfig) -> FluidState:
 
 
 def fluid_step(fs: FluidState, grid: Grid, bcs: FluidBCs, cfg: FluidConfig,
-               advance: bool = True) -> FluidState:
+               advance: bool = True, need_ddtu: bool = True) -> FluidState:
+    """need_ddtu=False skips DDtU.H: the material derivatives feed only
+    the Cvm virtual-mass RHS (piso.assemble_ub_eqn) and the particle
+    added-mass / fix-fdrag carrier_rho terms (coupling/forces.py,
+    dem/integrate.py) — all Python-gated off on the same config
+    switches, so skipping the computation is numerics-identical. The
+    solver derives the flag from the SimConfig (solver.need_ddtu)."""
     if advance:
         fs = advance_time(fs, cfg)
 
@@ -50,5 +56,6 @@ def fluid_step(fs: FluidState, grid: Grid, bcs: FluidBCs, cfg: FluidConfig,
     fs = _piso.adjust_channel_forcing(fs, rUbA, grid, cfg)
 
     fs = _turb.correct(fs, grid, bcs, cfg)
-    fs = _piso.ddtu(fs, grid, bcs, cfg)
+    if need_ddtu:
+        fs = _piso.ddtu(fs, grid, bcs, cfg)
     return fs

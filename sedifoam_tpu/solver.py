@@ -81,13 +81,24 @@ def _initialize_impl(fluid: FluidState, particles: ParticleState,
     return SimState(fluid, particles, uf_smoothed, uf_smoothed)
 
 
+def need_ddtu(cfg: SimConfig) -> bool:
+    """DDtU.H consumers: the Cvm virtual-mass RHS (piso.assemble_ub_eqn),
+    the particle added-mass force (coupling/forces.py), and fix fdrag's
+    carrier_rho correction (dem/integrate.py). With all three off, the
+    material derivatives are dead work (one full TVD convection pass per
+    phase per step) and are skipped — exact zeros flow instead."""
+    return (cfg.fluid.Cvm != 0.0 or cfg.cloud.particle_added_mass
+            or cfg.dem.carrier_rho != 0.0)
+
+
 def coupled_step(state: SimState, cfg: SimConfig) -> SimState:
     """One fluid timestep of the coupled system."""
     grid, bcs = cfg.grid, cfg.bcs
     fluid, particles = state.fluid, state.particles
 
     fluid = advance_time(fluid, cfg.fluid)
-    fluid = fluid_step(fluid, grid, bcs, cfg.fluid, advance=False)
+    fluid = fluid_step(fluid, grid, bcs, cfg.fluid, advance=False,
+                       need_ddtu=need_ddtu(cfg))
 
     fluid, particles, uf_smoothed = _cloud.evolve(
         fluid, particles, state.uf_smoothed, grid, bcs,
