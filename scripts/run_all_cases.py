@@ -130,6 +130,11 @@ def main():
                         continue
             secs = time.time() - ts
             oks.append(ok)
+            if not ok:
+                # surface the failure text so infra crashes (TPU worker
+                # restarts) are distinguishable from physics failures
+                # at the run_case retry gate
+                data.setdefault("error", stdout[-2000:])
             prefix = f"seed{s}_" if s else ""
             for k, v in d.items():
                 if k not in ("case", "t_end", "seeds"):
@@ -306,9 +311,30 @@ def main():
     import threading
     lock = threading.Lock()
 
+    # The remote TPU worker periodically wedges and restarts (STATUS
+    # round-5 operational notes): clients get UNAVAILABLE / socket
+    # errors that say nothing about the physics. Retry such a case once
+    # after a pause instead of recording an infra crash as a FAIL.
+    _INFRA = ("UNAVAILABLE", "worker process crashed", "worker restarted",
+              "FailedPrecondition", "Socket closed", "Connection reset",
+              "DEADLINE_EXCEEDED")
+
+    def _infra_failure(ok, data):
+        err = str(data.get("error", "")) if isinstance(data, dict) else ""
+        return (not ok) and any(m in err for m in _INFRA)
+
     def run_case(name, fn):
         print(f"=== {name} ...", flush=True)
         ok, data, secs = fn()
+        if _infra_failure(ok, data):
+            print(f"=== {name}: TPU-infra failure "
+                  f"({str(data.get('error', ''))[:200]!r}); retrying once "
+                  "in 120 s", flush=True)
+            time.sleep(120)
+            ok, data, secs2 = fn()
+            secs += secs2
+            if isinstance(data, dict):
+                data["infra_retried"] = True
         passed = ok and judge(name, data)
         with lock:
             report["cases"][name] = {"passed": bool(passed),
