@@ -24,16 +24,35 @@ RESULTS = os.path.join(REPO, "results")
 PY = sys.executable
 
 
-def run_json(cmd, timeout=14400):
-    """Run a subprocess, return (ok, parsed-last-JSON-line, seconds)."""
+def run_json(cmd, timeout=14400, log_name=None):
+    """Run a subprocess, return (ok, parsed-last-JSON-line, seconds).
+
+    stdout+stderr stream to results/case_logs/<name>.log as the case
+    runs (not a pipe): a stalled or crashed stage is diagnosable live
+    by tailing the log, and the pace heartbeats survive a driver death
+    (the round-5 VM restart lost every in-flight case's output because
+    it only existed in anonymous pipes/temp files).
+    """
     t0 = time.time()
-    try:
-        out = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True,
-                             timeout=timeout)
-    except subprocess.TimeoutExpired:
-        return False, {"error": "timeout"}, time.time() - t0
+    name = log_name or os.path.splitext(os.path.basename(cmd[1]))[0]
+    log_dir = os.path.join(RESULTS, "case_logs")
+    os.makedirs(log_dir, exist_ok=True)
+    log_path = os.path.join(log_dir, name + ".log")
+    timed_out = False
+    with open(log_path, "w", encoding="utf-8") as logf:
+        try:
+            rc = subprocess.run(cmd, cwd=REPO, stdout=logf,
+                                stderr=subprocess.STDOUT, text=True,
+                                timeout=timeout).returncode
+        except subprocess.TimeoutExpired:
+            timed_out = True
+    with open(log_path, encoding="utf-8") as f:
+        stdout = f.read()
+    if timed_out:
+        return False, {"error": "timeout", "log": log_path}, \
+            time.time() - t0
     data = {}
-    for line in reversed(out.stdout.strip().splitlines()):
+    for line in reversed(stdout.strip().splitlines()):
         line = line.strip()
         if line.startswith("{"):
             try:
@@ -41,9 +60,9 @@ def run_json(cmd, timeout=14400):
                 break
             except json.JSONDecodeError:
                 continue
-    if out.returncode != 0:
-        data.setdefault("error", out.stderr[-2000:])
-    return out.returncode == 0, data, time.time() - t0
+    if rc != 0:
+        data.setdefault("error", stdout[-2000:])
+    return rc == 0, data, time.time() - t0
 
 
 def run_pytest(path):
